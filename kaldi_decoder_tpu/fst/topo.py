@@ -1,0 +1,154 @@
+"""Decoding-graph builders: CTC topologies and test-graph generators.
+
+The reference treats H/HL/HLG as external inputs built by icefall
+(`README.md:16-20`); its only baked-in convention is that H-graph input
+labels are ``token_id + 1`` so that epsilon (0) and CTC blank (token 0)
+don't collide — that is why ``DecodableCtc::LogLikelihood`` reads
+``p[frame, index - 1]`` (`kaldi-decoder/csrc/decodable-ctc.cc:22-29`).
+This module provides native builders for those graphs so the framework is
+usable standalone: CTC topology H (standard and "modified" O(V)-arc
+variants), linear acceptors, and seeded random WFSTs for differential
+testing of the device decoders against the numpy oracle.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from kaldi_decoder_tpu.fst.fst import EPSILON, StdVectorFst
+
+
+def ctc_topo(num_tokens: int, modified: bool = False) -> StdVectorFst:
+    """Build the CTC topology acceptor H over ``num_tokens`` CTC ids.
+
+    Token 0 is the blank.  Input labels are ``token_id + 1`` (the reference's
+    H convention, `decodable-ctc.cc:22-29`); output labels are raw token ids
+    (blank/repeats emit epsilon).
+
+    ``modified=False``: the standard CTC topology — repeats collapse, a
+    blank is required between two identical tokens, O(V^2) arcs.
+
+    ``modified=True``: the compact variant (k2-style "modified" topo) with
+    O(V) arcs: every token loops on a single state; repeats collapse via a
+    per-token emitting state with an epsilon-output self-loop.
+    """
+    fst = StdVectorFst()
+    if modified:
+        # State 0 is start/final.  For each non-blank token t there is a
+        # state s_t entered while emitting olabel t; its self-loop re-emits
+        # the token with eps output; returning to 0 is free (eps).
+        s0 = fst.add_state()
+        fst.set_start(s0)
+        fst.set_final(s0)
+        fst.add_arc(s0, 1, EPSILON, 0.0, s0)  # blank self-loop
+        for t in range(1, num_tokens):
+            st = fst.add_state()
+            fst.add_arc(s0, t + 1, t, 0.0, st)  # first emission
+            fst.add_arc(st, t + 1, EPSILON, 0.0, st)  # repeats
+            fst.add_arc(st, EPSILON, EPSILON, 0.0, s0)  # leave (free)
+            fst.set_final(st)
+        return fst
+
+    # Standard topology: state 0 = "just emitted blank (or start)";
+    # state s_t = "just emitted token t".
+    s0 = fst.add_state()
+    fst.set_start(s0)
+    fst.set_final(s0)
+    tok_state = {}
+    for t in range(1, num_tokens):
+        tok_state[t] = fst.add_state()
+        fst.set_final(tok_state[t])
+    fst.add_arc(s0, 1, EPSILON, 0.0, s0)  # blank repeat
+    for t in range(1, num_tokens):
+        fst.add_arc(s0, t + 1, t, 0.0, tok_state[t])
+    for t in range(1, num_tokens):
+        st = tok_state[t]
+        fst.add_arc(st, t + 1, EPSILON, 0.0, st)  # repeat collapses
+        fst.add_arc(st, 1, EPSILON, 0.0, s0)  # blank resets
+        for u in range(1, num_tokens):
+            if u != t:
+                fst.add_arc(st, u + 1, u, 0.0, tok_state[u])
+    return fst
+
+
+def linear_acceptor(labels: Sequence[int], shift_ilabel: int = 0) -> StdVectorFst:
+    """Linear chain accepting exactly ``labels`` (olabel == label)."""
+    fst = StdVectorFst()
+    cur = fst.add_state()
+    fst.set_start(cur)
+    for lab in labels:
+        nxt = fst.add_state()
+        fst.add_arc(cur, lab + shift_ilabel, lab, 0.0, nxt)
+        cur = nxt
+    fst.set_final(cur)
+    return fst
+
+
+def random_fst(
+    num_states: int,
+    num_symbols: int,
+    rng: np.random.Generator,
+    mean_arcs_per_state: float = 3.0,
+    eps_prob: float = 0.2,
+    final_prob: float = 0.3,
+    max_weight: float = 4.0,
+    acyclic_eps: bool = True,
+    olabel_symbols: Optional[int] = None,
+) -> StdVectorFst:
+    """Seeded random WFST for differential tests.
+
+    Input labels are in ``1..num_symbols`` (score index = ilabel - 1) with a
+    fraction ``eps_prob`` of epsilon arcs.  Epsilon arcs only go to
+    higher-numbered states when ``acyclic_eps`` so the epsilon closure is a
+    DAG (HLG-like; the reference worklist also assumes convergent closures).
+    Every state gets at least one outgoing emitting arc and the graph is
+    made connected from the start state via a random spanning chain.
+    """
+    if olabel_symbols is None:
+        olabel_symbols = num_symbols
+    fst = StdVectorFst()
+    fst.add_states(num_states)
+    fst.set_start(0)
+
+    def rand_weight() -> float:
+        return float(np.round(rng.uniform(0.0, max_weight), 3))
+
+    # Spanning chain to guarantee reachability.
+    perm = rng.permutation(num_states - 1) + 1
+    prev = 0
+    for s in perm:
+        fst.add_arc(
+            prev,
+            int(rng.integers(1, num_symbols + 1)),
+            int(rng.integers(0, olabel_symbols + 1)),
+            rand_weight(),
+            int(s),
+        )
+        prev = int(s)
+
+    for s in range(num_states):
+        n_extra = max(1, int(rng.poisson(mean_arcs_per_state)))
+        for _ in range(n_extra):
+            dst = int(rng.integers(0, num_states))
+            if rng.random() < eps_prob:
+                if acyclic_eps:
+                    if s == num_states - 1:
+                        continue
+                    dst = int(rng.integers(s + 1, num_states))
+                fst.add_arc(
+                    s, EPSILON, int(rng.integers(0, olabel_symbols + 1)),
+                    rand_weight(), dst,
+                )
+            else:
+                fst.add_arc(
+                    s,
+                    int(rng.integers(1, num_symbols + 1)),
+                    int(rng.integers(0, olabel_symbols + 1)),
+                    rand_weight(),
+                    dst,
+                )
+        if rng.random() < final_prob or s == num_states - 1:
+            fst.set_final(s, rand_weight())
+    return fst

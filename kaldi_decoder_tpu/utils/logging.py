@@ -1,0 +1,55 @@
+"""Logging and per-utterance decode statistics.
+
+The reference uses C++ stream-logging macros (`kaldi-decoder/csrc/log.h:74-91`)
+whose `kError` level throws from the destructor (`log.h:46-53`).  The
+TPU-native equivalent is plain Python logging plus structured, per-utterance
+decode stats: because decoding runs as one jitted program over a whole batch,
+stats are produced as arrays and summarized here instead of per-token log
+lines (e.g. the pruning logs at `simple-decoder.cc:278-279`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Optional
+
+import numpy as np
+
+_LOGGER_NAME = "kaldi_decoder_tpu"
+
+
+def get_logger() -> logging.Logger:
+    return logging.getLogger(_LOGGER_NAME)
+
+
+@dataclasses.dataclass
+class DecodeStats:
+    """Per-utterance statistics from a device decode.
+
+    Mirrors the information the reference exposes through log lines and
+    soft failure signals (`lattice-simple-decoder.cc:146-153`,
+    `simple-decoder.cc:78-100`), but as structured data.
+    """
+
+    num_frames: int = 0
+    # Number of active (valid) frontier slots after each frame's pruning.
+    active_per_frame: Optional[np.ndarray] = None
+    # Best (lowest) total cost per frame.
+    best_cost_per_frame: Optional[np.ndarray] = None
+    # Beam cutoff actually applied per frame (absolute cost).
+    cutoff_per_frame: Optional[np.ndarray] = None
+    # Number of frames where the candidate arc budget overflowed and
+    # candidates had to be dropped (0 == exact search within the beam).
+    arc_budget_overflows: int = 0
+
+    def summary(self) -> str:
+        if self.active_per_frame is None or self.num_frames == 0:
+            return "DecodeStats(empty)"
+        act = np.asarray(self.active_per_frame)[: self.num_frames]
+        return (
+            f"DecodeStats(frames={self.num_frames}, "
+            f"mean_active={float(act.mean()):.1f}, "
+            f"max_active={int(act.max())}, "
+            f"overflows={self.arc_budget_overflows})"
+        )

@@ -1,0 +1,25 @@
+"""Small math helpers.
+
+TPU-native replacement of the reference's math utilities
+(`kaldi-decoder/csrc/kaldi-math.h:36-44`): the only behavior the decoders
+rely on is the relative-tolerance float comparison used during final-frame
+lattice link pruning (`kaldi-decoder/csrc/lattice-simple-decoder.cc:512`).
+"""
+
+from __future__ import annotations
+
+import math
+
+INF = float("inf")
+
+
+def approx_equal(a: float, b: float, relative_tolerance: float = 0.001) -> bool:
+    """Relative-tolerance comparison matching kaldi-math.h:36-44.
+
+    ``a == b`` if ``|a - b| <= relative_tolerance * (|a| + |b|)``.
+    """
+    if a == b:
+        return True
+    if math.isinf(a) or math.isinf(b) or a != a or b != b:
+        return False
+    return abs(a - b) <= relative_tolerance * (abs(a) + abs(b))
