@@ -18,10 +18,22 @@ from kaldi_decoder_tpu.decodable import (
     DecodableInterface,
     DecodableMatrix,
 )
+from kaldi_decoder_tpu.decoders import (
+    BatchedViterbiDecoder,
+    FasterDecoder,
+    FasterDecoderOptions,
+    FrontierConfig,
+    SimpleDecoder,
+)
 
 __all__ = [
     "DecodableCtc",
     "DecodableInterface",
     "DecodableMatrix",
+    "BatchedViterbiDecoder",
+    "FasterDecoder",
+    "FasterDecoderOptions",
+    "FrontierConfig",
+    "SimpleDecoder",
     "__version__",
 ]

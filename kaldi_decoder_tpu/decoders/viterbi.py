@@ -1,0 +1,305 @@
+"""Batched device Viterbi decoder (the FasterDecoder capability).
+
+One jitted ``lax.scan`` over frames advances B utterances in lockstep
+(reference: one-utterance-at-a-time Python loops, SURVEY §2.5); each frame
+runs :func:`kaldi_decoder_tpu.decoders.frontier.frame_step` (GetCutoff +
+arc expansion + dedup + eps closure) vmapped over the batch.  Per-frame
+backpointers ``(prev_slot, arc_id)`` are logged to device memory and
+downloaded once; the host reconstructs best paths by walking them
+backwards, exactly like the reference's ``Token::prev_`` chain walk
+(`kaldi-decoder/csrc/faster-decoder.cc:356-424`) including the
+(graph_cost, acoustic_cost) split per arc and the final-prob preference
+rules, and finishes with RemoveEpsLocal (`faster-decoder.cc:422`).
+
+Shapes are static per (B, T, V); decode() pads and caches the compiled
+executable per shape bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_decoder_tpu.decoders.frontier import (
+    NO_ARC,
+    FrontierConfig,
+    StepState,
+    config_for_graph,
+    frame_step,
+    init_closure,
+)
+from kaldi_decoder_tpu.fst.csr import CsrGraph
+from kaldi_decoder_tpu.fst.fst import INF, Lattice
+from kaldi_decoder_tpu.fst.ops import remove_eps_local
+from kaldi_decoder_tpu.utils.logging import DecodeStats, get_logger
+
+logger = get_logger()
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Jitted chunk function
+# ---------------------------------------------------------------------------
+
+
+def build_chunk_fn(graph: CsrGraph, cfg: FrontierConfig):
+    """Returns jitted fn(ga, scores(B,T,V), lengths(B,), st0) -> (stF, outs).
+
+    ``lengths`` counts frames *within this chunk* still to decode (frames
+    t >= lengths are no-ops, freezing that utterance's frontier) — this is
+    what makes streaming AdvanceDecoding and ragged batches work.
+    """
+    S = graph.num_states
+    step = functools.partial(frame_step, cfg=cfg, num_states=S)
+
+    @jax.jit
+    def chunk(ga, scores, lengths, st0: StepState):
+        scores_tm = jnp.moveaxis(scores, 1, 0)  # (T, B, V)
+        T = scores_tm.shape[0]
+
+        def body(st, inp):
+            scores_t, t = inp
+            active = t < lengths
+            new_st, out = jax.vmap(
+                lambda s, sc, a: step(s, sc, a, ga)
+            )(st, scores_t, active)
+            return new_st, out
+
+        ts = jnp.arange(T, dtype=jnp.int32)
+        stf, outs = jax.lax.scan(body, st0, (scores_tm, ts))
+        return stf, outs
+
+    return chunk
+
+
+def _batched_init(ga_dev, graph: CsrGraph, cfg: FrontierConfig, batch: int):
+    """Initial frontier (start state + eps closure) broadcast over B."""
+    st, bp_init = init_closure(ga_dev, graph.start_state, graph.num_states, cfg)
+    stb = StepState(
+        states=jnp.broadcast_to(st.states, (batch,) + st.states.shape),
+        costs=jnp.broadcast_to(st.costs, (batch,) + st.costs.shape),
+        base=jnp.broadcast_to(st.base, (batch,)),
+    )
+    return stb, np.asarray(bp_init)
+
+
+# ---------------------------------------------------------------------------
+# Results + host backtrace
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ViterbiResult:
+    """Host-side decode result for a batch.
+
+    Backpointer layout per utterance: the init closure's (D, K, 2) block,
+    then per frame an emitting (K, 2) block and a (D, K, 2) eps block.
+    """
+
+    graph: CsrGraph
+    cfg: FrontierConfig
+    scores: np.ndarray  # (B, T, V) float32 (unpadded view)
+    lengths: np.ndarray  # (B,) int32
+    bp_init: np.ndarray  # (D, K, 2)
+    bp_emit: np.ndarray  # (T, B, K, 2)
+    bp_eps: np.ndarray  # (T, B, D, K, 2)
+    frontier_states: np.ndarray  # (B, K) int32
+    frontier_costs: np.ndarray  # (B, K) float32, absolute
+    num_active: np.ndarray  # (T, B)
+    best_costs: np.ndarray  # (T, B) absolute best cost per frame
+    cutoffs: np.ndarray  # (T, B)
+    overflows: np.ndarray  # (T, B) bool
+
+    @property
+    def batch_size(self) -> int:
+        return self.scores.shape[0]
+
+    # -- final-frame semantics (faster-decoder.cc:347-390) -------------------
+
+    def _final_costs(self, b: int) -> np.ndarray:
+        states = self.frontier_states[b]
+        return self.graph.arrays.final_cost[states]
+
+    def reached_final(self, b: int = 0) -> bool:
+        costs = self.frontier_costs[b]
+        return bool(np.any(np.isfinite(costs) & np.isfinite(self._final_costs(b))))
+
+    def final_relative_cost(self, b: int = 0) -> float:
+        """simple-decoder.cc:78-100 semantics (INF when nothing survived)."""
+        costs = self.frontier_costs[b]
+        if not np.any(np.isfinite(costs)):
+            return INF
+        best = float(np.min(costs))
+        with np.errstate(invalid="ignore"):
+            best_final = float(np.min(costs + self._final_costs(b)))
+        extra = best_final - best
+        return INF if np.isnan(extra) else extra
+
+    def best_cost(self, b: int = 0, use_final_probs: bool = True) -> float:
+        costs = self.frontier_costs[b].copy()
+        if use_final_probs and self.reached_final(b):
+            costs = costs + self._final_costs(b)
+        return float(np.min(costs))
+
+    def _best_slot(self, b: int, use_final_probs: bool) -> Optional[int]:
+        costs = self.frontier_costs[b].copy()
+        if not np.any(np.isfinite(costs)):
+            return None
+        if use_final_probs and self.reached_final(b):
+            costs = costs + self._final_costs(b)
+            if not np.any(np.isfinite(costs)):
+                return None
+        return int(np.argmin(costs))
+
+    # -- backtrace ------------------------------------------------------------
+
+    def best_path(self, b: int = 0, use_final_probs: bool = True) -> Optional[Lattice]:
+        """Best path as a linear lattice (GetBestPath parity,
+        `faster-decoder.cc:356-424`), or None if no tokens survived."""
+        slot = self._best_slot(b, use_final_probs)
+        if slot is None:
+            return None
+        ga = self.graph.arrays
+        L = int(self.lengths[b])
+        D = self.cfg.eps_iters
+        is_final = use_final_probs and self.reached_final(b)
+        final_state = int(self.frontier_states[b, slot])
+
+        # Arc list built back-to-front: (is_eps, arc_id, frame).
+        rev: List[Tuple[bool, int, int]] = []
+
+        def walk_eps(bp_block, frame):
+            nonlocal slot
+            for d in range(D - 1, -1, -1):
+                prev_slot, arc = int(bp_block[d, slot, 0]), int(bp_block[d, slot, 1])
+                if arc != NO_ARC:
+                    rev.append((True, arc, frame))
+                slot = prev_slot
+
+        for t in range(L - 1, -1, -1):
+            walk_eps(self.bp_eps[t, b], t)
+            prev_slot, arc = (
+                int(self.bp_emit[t, b, slot, 0]),
+                int(self.bp_emit[t, b, slot, 1]),
+            )
+            if arc == NO_ARC:
+                # Dead backpointer on an active frame: search failure.
+                logger.warning("backtrace hit a dead slot at frame %d (utt %d)", t, b)
+                return None
+            rev.append((False, arc, t))
+            slot = prev_slot
+        walk_eps(self.bp_init, -1)
+
+        out = Lattice()
+        cur = out.add_state()
+        out.set_start(cur)
+        for is_eps, arc, t in reversed(rev):
+            nxt = out.add_state()
+            if is_eps:
+                out.add_arc(
+                    cur, 0, int(ga.eps_olabel[arc]),
+                    (float(ga.eps_weight[arc]), 0.0), nxt,
+                )
+            else:
+                g = float(ga.em_weight[arc])
+                ac = -float(self.scores[b, t, int(ga.em_score_idx[arc])])
+                out.add_arc(
+                    cur, int(ga.em_ilabel[arc]), int(ga.em_olabel[arc]), (g, ac), nxt
+                )
+            cur = nxt
+        if is_final:
+            out.set_final(cur, (float(ga.final_cost[final_state]), 0.0))
+        else:
+            out.set_final(cur, (0.0, 0.0))
+        return remove_eps_local(out)
+
+    def stats(self, b: int = 0) -> DecodeStats:
+        L = int(self.lengths[b])
+        return DecodeStats(
+            num_frames=L,
+            active_per_frame=self.num_active[:L, b],
+            best_cost_per_frame=self.best_costs[:L, b],
+            cutoff_per_frame=self.cutoffs[:L, b],
+            arc_budget_overflows=int(np.sum(self.overflows[:L, b])),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Decoder object
+# ---------------------------------------------------------------------------
+
+
+class BatchedViterbiDecoder:
+    """Best-path WFST decoder over a device-resident CSR graph.
+
+    TPU-native equivalent of ``FasterDecoder`` (`faster-decoder.h:65-200`)
+    with utterance batching.  Construct once per graph; ``decode`` accepts
+    ``(T, V)`` or ``(B, T, V)`` log-prob arrays.
+    """
+
+    def __init__(
+        self,
+        graph: CsrGraph,
+        config: Optional[FrontierConfig] = None,
+        pad_time_to: int = 128,
+    ):
+        self.graph = graph
+        self.cfg = config if config is not None else config_for_graph(graph)
+        self.cfg.validate()
+        self.pad_time_to = pad_time_to
+        self._ga_dev = jax.tree.map(jnp.asarray, graph.arrays)
+        self._chunk_fn = build_chunk_fn(graph, self.cfg)
+
+    def decode(
+        self,
+        scores: np.ndarray,
+        lengths: Optional[np.ndarray] = None,
+    ) -> ViterbiResult:
+        scores = np.asarray(scores, dtype=np.float32)
+        if scores.ndim == 2:
+            scores = scores[None]
+        B, T, V = scores.shape
+        if self.graph.max_score_idx >= V:
+            raise ValueError(
+                f"graph references score index {self.graph.max_score_idx} but "
+                f"scores have only {V} columns (graph ilabels are 1-based: "
+                f"need V >= max ilabel - 1; decodable-ctc.cc:22-29)"
+            )
+        if lengths is None:
+            lengths = np.full((B,), T, np.int32)
+        lengths = np.asarray(lengths, dtype=np.int32)
+
+        Tp = max(_round_up(T, self.pad_time_to), self.pad_time_to)
+        if Tp != T:
+            scores_p = np.zeros((B, Tp, V), np.float32)
+            scores_p[:, :T] = scores
+        else:
+            scores_p = scores
+
+        st0, bp_init = _batched_init(self._ga_dev, self.graph, self.cfg, B)
+        stf, outs = self._chunk_fn(
+            self._ga_dev, jnp.asarray(scores_p), jnp.asarray(lengths), st0
+        )
+        return ViterbiResult(
+            graph=self.graph,
+            cfg=self.cfg,
+            scores=scores,
+            lengths=lengths,
+            bp_init=bp_init,
+            bp_emit=np.asarray(outs.bp_emit),
+            bp_eps=np.asarray(outs.bp_eps),
+            frontier_states=np.asarray(stf.states),
+            frontier_costs=np.asarray(stf.base)[:, None] + np.asarray(stf.costs),
+            num_active=np.asarray(outs.num_active),
+            best_costs=np.asarray(outs.best_cost),
+            cutoffs=np.asarray(outs.cutoff),
+            overflows=np.asarray(outs.overflow),
+        )

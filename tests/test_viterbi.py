@@ -1,0 +1,245 @@
+"""Differential tests: device Viterbi decoder vs the numpy oracle.
+
+This is the core correctness argument of the framework (SURVEY §4): the
+jitted fixed-shape frontier decoder must reproduce the reference
+SimpleDecoder/FasterDecoder semantics, validated against the oracle on
+random WFSTs (with epsilon arcs) and random logits.
+"""
+
+import numpy as np
+import pytest
+
+from kaldi_decoder_tpu.decodable import DecodableCtc
+from kaldi_decoder_tpu.decoders import (
+    BatchedViterbiDecoder,
+    FasterDecoder,
+    FasterDecoderOptions,
+    OracleSimpleDecoder,
+    SimpleDecoder,
+    config_for_graph,
+)
+from kaldi_decoder_tpu.fst import (
+    compile_fst,
+    ctc_topo,
+    path_labels,
+    path_total_cost,
+    random_fst,
+)
+
+INF = float("inf")
+
+
+def rand_logp(rng, T, V):
+    return np.log(rng.dirichlet(np.ones(V), size=T)).astype(np.float32)
+
+
+def oracle_decode(fst, logp, beam):
+    o = OracleSimpleDecoder(fst, beam=beam)
+    o.decode(DecodableCtc(logp))
+    lat = o.get_best_path()
+    return o, lat
+
+
+class TestDeviceVsOracle:
+    @pytest.mark.parametrize("seed", range(8))
+    def test_random_graphs(self, seed):
+        rng = np.random.default_rng(seed)
+        fst = random_fst(30, 5, rng)
+        g = compile_fst(fst)
+        cfg = config_for_graph(g, frontier_size=32, beam=12.0, min_active=0)
+        dec = BatchedViterbiDecoder(g, cfg, pad_time_to=8)
+        logp = rand_logp(rng, 12, 5)
+        res = dec.decode(logp)
+        o, olat = oracle_decode(fst, logp, beam=12.0)
+        dlat = res.best_path(0)
+        assert (dlat is None) == (olat is None)
+        if olat is not None:
+            assert path_labels(dlat) == path_labels(olat)
+            assert path_total_cost(dlat) == pytest.approx(
+                path_total_cost(olat), abs=1e-3
+            )
+        assert res.reached_final(0) == o.reached_final()
+        frc_d, frc_o = res.final_relative_cost(0), o.final_relative_cost()
+        if frc_o == INF:
+            assert frc_d == INF
+        else:
+            assert frc_d == pytest.approx(frc_o, abs=1e-3)
+
+    def test_ctc_h_graph(self):
+        rng = np.random.default_rng(42)
+        V, T = 8, 50
+        h = ctc_topo(V)
+        g = compile_fst(h)
+        dec = BatchedViterbiDecoder(
+            g, config_for_graph(g, beam=16.0, min_active=0), pad_time_to=16
+        )
+        logp = rand_logp(rng, T, V)
+        res = dec.decode(logp)
+        _, olat = oracle_decode(h, logp, beam=16.0)
+        assert path_labels(res.best_path(0)) == path_labels(olat)
+
+    def test_ctc_h_modified_graph(self):
+        # modified topo exercises the per-frame epsilon closure
+        rng = np.random.default_rng(43)
+        V, T = 8, 30
+        h = ctc_topo(V, modified=True)
+        g = compile_fst(h)
+        assert g.num_eps_arcs > 0
+        dec = BatchedViterbiDecoder(
+            g, config_for_graph(g, beam=16.0, min_active=0), pad_time_to=16
+        )
+        logp = rand_logp(rng, T, V)
+        res = dec.decode(logp)
+        _, olat = oracle_decode(h, logp, beam=16.0)
+        assert path_total_cost(res.best_path(0)) == pytest.approx(
+            path_total_cost(olat), abs=1e-3
+        )
+
+    def test_batched_ragged_lengths(self):
+        rng = np.random.default_rng(7)
+        V = 6
+        fst = random_fst(25, V, rng)
+        g = compile_fst(fst)
+        cfg = config_for_graph(g, frontier_size=32, beam=12.0, min_active=0)
+        dec = BatchedViterbiDecoder(g, cfg, pad_time_to=8)
+        B, T = 4, 15
+        scores = np.stack([rand_logp(rng, T, V) for _ in range(B)])
+        lengths = np.array([15, 9, 4, 1], np.int32)
+        res = dec.decode(scores, lengths)
+        for b in range(B):
+            L = int(lengths[b])
+            o, olat = oracle_decode(fst, scores[b, :L], beam=12.0)
+            dlat = res.best_path(b)
+            assert (dlat is None) == (olat is None), f"utt {b}"
+            if olat is not None:
+                assert path_labels(dlat) == path_labels(olat), f"utt {b}"
+                assert path_total_cost(dlat) == pytest.approx(
+                    path_total_cost(olat), abs=1e-3
+                ), f"utt {b}"
+
+
+class TestMaxActive:
+    def test_max_active_prunes_but_keeps_peaked_path(self):
+        # With peaked posteriors the best path survives aggressive
+        # max_active pruning (GetCutoff semantics, faster-decoder.cc:244-336)
+        rng = np.random.default_rng(3)
+        V, T = 8, 25
+        ids = rng.integers(0, V, size=T)
+        logp = np.full((T, V), -12.0, np.float32)
+        logp[np.arange(T), ids] = -0.01
+        h = ctc_topo(V)
+        g = compile_fst(h)
+        wide = BatchedViterbiDecoder(
+            g, config_for_graph(g, beam=20.0, min_active=0), pad_time_to=8
+        )
+        narrow = BatchedViterbiDecoder(
+            g,
+            config_for_graph(g, beam=20.0, max_active=4, min_active=2),
+            pad_time_to=8,
+        )
+        rw = wide.decode(logp)
+        rn = narrow.decode(logp)
+        assert path_labels(rn.best_path(0)) == path_labels(rw.best_path(0))
+        # max_active tightens the expansion cutoff (it bounds how many
+        # tokens are *expanded*, not how many are stored — same as the
+        # reference, where the hash keeps every inserted token).  Frame 0 is
+        # excluded: there min_active > count disables pruning entirely
+        # (cutoff = inf), exactly like GetCutoff's min_active branch.
+        cn = rn.stats(0).cutoff_per_frame[1:]
+        cw = rw.stats(0).cutoff_per_frame[1:]
+        assert np.all(cn <= cw + 1e-4)
+        assert np.any(cn < cw - 1e-4)
+
+    def test_min_active_disables_pruning_when_few_tokens(self):
+        # min_active larger than the live count => no beam pruning at all
+        rng = np.random.default_rng(4)
+        fst = random_fst(10, 3, rng, eps_prob=0.0)
+        g = compile_fst(fst)
+        cfg = config_for_graph(
+            g, beam=0.01, max_active=8, min_active=6, frontier_size=16
+        )
+        dec = BatchedViterbiDecoder(g, cfg, pad_time_to=8)
+        logp = rand_logp(rng, 6, 3)
+        res = dec.decode(logp)
+        # with beam 0.01 alone nearly everything would die; min_active keeps
+        # at least some states alive
+        assert res.stats(0).active_per_frame.min() >= 1
+
+
+class TestApiParity:
+    def test_simple_decoder_api(self):
+        rng = np.random.default_rng(0)
+        V, T = 6, 20
+        fst = random_fst(20, V, rng)
+        logp = rand_logp(rng, T, V)
+        dec = SimpleDecoder(fst, beam=12.0)
+        ok = dec.decode(DecodableCtc(logp))
+        assert ok
+        o, olat = oracle_decode(fst, logp, beam=12.0)
+        ok2, lat = dec.get_best_path()
+        assert ok2
+        assert path_labels(lat) == path_labels(olat)
+        assert dec.num_frames_decoded() == T
+        assert dec.reached_final() == o.reached_final()
+
+    def test_faster_decoder_streaming_matches_batch(self):
+        rng = np.random.default_rng(1)
+        V, T = 6, 33
+        h = ctc_topo(V)
+        logp = rand_logp(rng, T, V)
+
+        full = FasterDecoder(h, FasterDecoderOptions(beam=14.0))
+        full.decode(DecodableCtc(logp))
+        _, lat_full = full.get_best_path()
+
+        stream = FasterDecoder(h, FasterDecoderOptions(beam=14.0))
+        stream.chunk_pad = 8
+        stream.init_decoding()
+        for lo in range(0, T, 9):
+            hi = min(lo + 9, T)
+            stream.advance_decoding(DecodableCtc(logp[lo:hi], offset=lo))
+        assert stream.num_frames_decoded() == T
+        _, lat_stream = stream.get_best_path()
+        assert path_labels(lat_stream) == path_labels(lat_full)
+        assert path_total_cost(lat_stream) == pytest.approx(
+            path_total_cost(lat_full), abs=1e-3
+        )
+
+    def test_advance_max_num_frames(self):
+        rng = np.random.default_rng(2)
+        V, T = 4, 10
+        logp = rand_logp(rng, T, V)
+        dec = FasterDecoder(ctc_topo(V), FasterDecoderOptions())
+        dec.chunk_pad = 4
+        dec.init_decoding()
+        dec.advance_decoding(DecodableCtc(logp), max_num_frames=3)
+        assert dec.num_frames_decoded() == 3
+        dec.advance_decoding(DecodableCtc(logp))
+        assert dec.num_frames_decoded() == T
+
+    def test_options_validation(self):
+        with pytest.raises(ValueError):
+            FasterDecoder(ctc_topo(3), FasterDecoderOptions(max_active=1))
+        with pytest.raises(ValueError):
+            FasterDecoder(ctc_topo(3), FasterDecoderOptions(hash_ratio=0.5))
+        with pytest.raises(ValueError):
+            FasterDecoder(
+                ctc_topo(3), FasterDecoderOptions(min_active=30, max_active=20)
+            )
+
+    def test_options_str(self):
+        s = str(FasterDecoderOptions())
+        assert "beam=16" in s and "hash_ratio=2" in s
+
+    def test_v_mismatch_raises(self):
+        dec = SimpleDecoder(ctc_topo(8), beam=10.0)
+        with pytest.raises(ValueError, match="score index"):
+            dec.decode(DecodableCtc(np.zeros((5, 4), np.float32)))
+
+    def test_get_best_path_before_frames(self):
+        # After init_decoding but before any frames: the best path is the
+        # (possibly empty) init-closure path.
+        dec = SimpleDecoder(ctc_topo(4), beam=10.0)
+        dec.init_decoding()
+        ok, lat = dec.get_best_path()
+        assert ok  # start token exists
