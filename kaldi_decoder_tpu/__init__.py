@@ -19,10 +19,15 @@ from kaldi_decoder_tpu.decodable import (
     DecodableMatrix,
 )
 from kaldi_decoder_tpu.decoders import (
+    BatchedLatticeDecoder,
     BatchedViterbiDecoder,
     FasterDecoder,
     FasterDecoderOptions,
     FrontierConfig,
+    LatticeFasterDecoder,
+    LatticeFasterDecoderConfig,
+    LatticeSimpleDecoder,
+    LatticeSimpleDecoderConfig,
     SimpleDecoder,
 )
 
@@ -30,10 +35,15 @@ __all__ = [
     "DecodableCtc",
     "DecodableInterface",
     "DecodableMatrix",
+    "BatchedLatticeDecoder",
     "BatchedViterbiDecoder",
     "FasterDecoder",
     "FasterDecoderOptions",
     "FrontierConfig",
+    "LatticeFasterDecoder",
+    "LatticeFasterDecoderConfig",
+    "LatticeSimpleDecoder",
+    "LatticeSimpleDecoderConfig",
     "SimpleDecoder",
     "__version__",
 ]

@@ -88,13 +88,20 @@ class _StreamingViterbi:
     chunk_pad: int = 64
 
     def __init__(self, fst, cfg: FrontierConfig, **cfg_overrides):
+        from kaldi_decoder_tpu.fst.pack import pack_graph
+
         self._graph = _as_graph(fst)
         self._cfg = config_for_graph(
             self._graph,
             base=cfg,
             **cfg_overrides,
         )
-        self._ga_dev = jax.tree.map(jnp.asarray, self._graph.arrays)
+        self._pg_dev = jax.tree.map(
+            jnp.asarray,
+            pack_graph(
+                self._graph, self._cfg.block_width, self._cfg.eps_block_width
+            ),
+        )
         self._chunk_fn = build_chunk_fn(self._graph, self._cfg)
         self._reset()
 
@@ -111,8 +118,10 @@ class _StreamingViterbi:
 
     def init_decoding(self) -> None:
         self._reset()
-        st, bp_init = init_closure(
-            self._ga_dev, self._graph.start_state, self._graph.num_states, self._cfg
+        from kaldi_decoder_tpu.decoders.viterbi import _build_init_fn
+
+        st, bp_init = _build_init_fn(self._graph.num_states, self._cfg)(
+            self._pg_dev, jnp.int32(self._graph.start_state)
         )
         self._state = StepState(st.states[None], st.costs[None], st.base[None])
         self._bp_init = np.asarray(bp_init)
@@ -143,7 +152,7 @@ class _StreamingViterbi:
         scores_p[0, :n_new] = scores
         lengths = jnp.array([n_new], jnp.int32)
         stf, outs = self._chunk_fn(
-            self._ga_dev, jnp.asarray(scores_p), lengths, self._state
+            self._pg_dev, jnp.asarray(scores_p), lengths, self._state
         )
         self._state = stf
         self._bp_emit_chunks.append(np.asarray(outs.bp_emit)[:n_new])
@@ -290,8 +299,10 @@ class FasterDecoder(_StreamingViterbi):
             min_active=config.min_active,
             beam_delta=config.beam_delta,
             frontier_size=self._cfg.frontier_size,
-            arc_budget=self._cfg.arc_budget,
-            eps_budget=self._cfg.eps_budget,
+            block_width=self._cfg.block_width,
+            rem_budget=self._cfg.rem_budget,
+            eps_block_width=self._cfg.eps_block_width,
+            eps_rem_budget=self._cfg.eps_rem_budget,
             eps_iters=self._cfg.eps_iters,
         )
         self._chunk_fn = build_chunk_fn(self._graph, self._cfg)

@@ -8,19 +8,25 @@ becomes a fixed-shape array program:
 
 1. cutoff/adaptive-beam from the (cost-sorted) frontier
    (:mod:`kaldi_decoder_tpu.ops.cutoff`, GetCutoff parity);
-2. arc-parallel emitting expansion over the emitting CSR with the acoustic
-   gather ``-scores[t, score_idx]`` fused in (the reference's per-arc
-   virtual ``LogLikelihood`` call, `faster-decoder.cc:209`);
-3. post-hoc beam prune at ``best_new + adaptive_beam``.  The C++ evolves
-   ``next_weight_cutoff`` token-by-token (`faster-decoder.cc:192-230`), an
-   order-dependent *upper bound* of this value; pruning at the final bound
-   is tighter but provably never drops a token the reference's final
-   cutoff would keep, so best-path results agree;
-4. scatter-min dedup by destination state + top-K frontier selection
-   (replaces ``HashList::Insert`` collisions and implicitly bounds the
-   frontier like ``max_active``);
-5. bounded epsilon-closure iteration over the epsilon CSR (the worklist's
-   fixed point; iteration count = precomputed eps depth, with early-out).
+2. **block expansion**: one row gather pulls each frontier state's first W
+   packed arcs (:mod:`kaldi_decoder_tpu.fst.pack`) — W chosen to cover
+   ~p95 of out-degrees, so the common case is a single fully regular
+   gather + broadcast; a **remainder path** (scatter+cummax lane mapping,
+   :func:`kaldi_decoder_tpu.ops.segment.map_lanes`) covers fat states
+   exactly;
+3. the acoustic gather ``-scores[t, score_idx]`` fused in as a one-hot
+   MXU matmul (the reference's per-arc virtual ``LogLikelihood`` call,
+   `faster-decoder.cc:209`);
+4. post-hoc beam prune at ``best_new + adaptive_beam``.  The C++ evolves
+   ``next_weight_cutoff`` token-by-token (`faster-decoder.cc:192-230`),
+   an order-dependent upper bound of this value; pruning at the final
+   bound is tighter but never drops a token the reference's final cutoff
+   keeps, so results agree;
+5. scatter-min dedup by destination state + top-K frontier selection
+   (replaces ``HashList::Insert`` collisions);
+6. bounded epsilon-closure iteration with the same block+remainder
+   expansion (the worklist's fixed point; iteration count = precomputed
+   eps depth, with early-out).
 
 Costs are kept *relative* to a carried per-utterance base (the per-frame
 minimum is subtracted and accumulated), so float32 stays precise for
@@ -39,9 +45,10 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from kaldi_decoder_tpu.fst.csr import CsrGraph, GraphArrays
+from kaldi_decoder_tpu.fst.csr import CsrGraph
+from kaldi_decoder_tpu.fst.pack import EM_FIELDS, EPS_FIELDS, PackedGraph
 from kaldi_decoder_tpu.ops.cutoff import get_cutoff
-from kaldi_decoder_tpu.ops.segment import dedup_select, expand
+from kaldi_decoder_tpu.ops.segment import dedup_select, map_lanes, score_lookup
 
 INF = jnp.inf
 
@@ -65,12 +72,18 @@ class FrontierConfig:
     beam_delta: float = 0.5
     # Frontier capacity K: max unique states tracked per frame.
     frontier_size: int = 2048
-    # Flat arc-lane budget for emitting expansion (per frame).
-    arc_budget: int = 16384
-    # Flat arc-lane budget for one epsilon-closure iteration.
-    eps_budget: int = 8192
+    # Emitting block width W: arcs per state expanded via the regular
+    # block path; arcs beyond W go through the remainder lanes.
+    block_width: int = 8
+    # Flat lane budget for emitting remainder arcs (fat states).
+    rem_budget: int = 4096
+    # Epsilon block width and remainder budget.
+    eps_block_width: int = 4
+    eps_rem_budget: int = 1024
     # Epsilon-closure iterations per frame (graph eps depth if known).
     eps_iters: int = 0
+    # Acoustic lookup: one-hot MXU matmul (fast on TPU) vs plain gather.
+    score_onehot: bool = True
 
     def validate(self) -> None:
         if self.beam <= 0:
@@ -79,8 +92,14 @@ class FrontierConfig:
             raise ValueError("max_active must be > 1")  # faster-decoder.cc:27
         if not (0 <= self.min_active < self.max_active):
             raise ValueError("need 0 <= min_active < max_active")
-        if self.frontier_size < 1 or self.arc_budget < 1:
-            raise ValueError("frontier_size and arc_budget must be >= 1")
+        if self.frontier_size < 1 or self.block_width < 1:
+            raise ValueError("frontier_size and block_width must be >= 1")
+        if self.rem_budget < 1 or self.eps_rem_budget < 1:
+            raise ValueError("lane budgets must be >= 1")
+
+    @property
+    def num_candidates(self) -> int:
+        return self.frontier_size * self.block_width + self.rem_budget
 
 
 def _next_pow2(x: int) -> int:
@@ -88,39 +107,48 @@ def _next_pow2(x: int) -> int:
 
 
 def config_for_graph(graph: CsrGraph, base: Optional[FrontierConfig] = None, **kw):
-    """Derive a FrontierConfig with capacities sized for ``graph``.
+    """Derive a FrontierConfig with capacities sized for ``graph``."""
+    import numpy as np
 
-    Capacities are clamped to what the graph can actually produce (a
-    frontier can never exceed the state count; an expansion never exceeds
-    the emitting arc count), so small test graphs compile small programs.
-    """
     cfg = base or FrontierConfig()
     kw.setdefault("beam", cfg.beam)
     kw.setdefault("max_active", cfg.max_active)
     kw.setdefault("min_active", cfg.min_active)
     kw.setdefault("beam_delta", cfg.beam_delta)
+    kw.setdefault("score_onehot", cfg.score_onehot)
 
     K = kw.get("frontier_size", cfg.frontier_size)
     K = max(8, min(K, _next_pow2(max(graph.num_states, 2))))
     kw["frontier_size"] = K
 
-    A = kw.get("arc_budget", max(cfg.arc_budget, graph.max_em_out_degree + K))
-    A = min(A, max(graph.num_emitting_arcs, 8))
-    # Must at least fit the fattest single state or nothing can expand it.
-    A = max(8, A, min(graph.max_em_out_degree + 1, graph.num_emitting_arcs or 8))
-    kw["arc_budget"] = A
+    deg = np.diff(graph.arrays.em_row_ptr)
+    nz = deg[deg > 0]
+    p95 = int(np.quantile(nz, 0.95)) if len(nz) else 1
+    W = kw.get("block_width", max(1, min(p95, 16, graph.max_em_out_degree or 1)))
+    kw["block_width"] = max(1, W)
+
+    rem = kw.get("rem_budget", min(max(1024, K), max(graph.num_emitting_arcs, 8)))
+    kw["rem_budget"] = max(8, rem)
 
     if graph.num_eps_arcs:
-        Ae = kw.get(
-            "eps_budget", min(cfg.eps_budget, graph.max_eps_out_degree + K)
+        edeg = np.diff(graph.arrays.eps_row_ptr)
+        enz = edeg[edeg > 0]
+        ep95 = int(np.quantile(enz, 0.95)) if len(enz) else 1
+        We = kw.get(
+            "eps_block_width",
+            max(1, min(ep95, 8, graph.max_eps_out_degree or 1)),
         )
-        kw["eps_budget"] = max(8, min(Ae, graph.num_eps_arcs))
+        kw["eps_block_width"] = max(1, We)
+        kw["eps_rem_budget"] = max(
+            8, kw.get("eps_rem_budget", min(max(512, K // 2), graph.num_eps_arcs))
+        )
         depth = graph.eps_depth
         if depth is None:
             depth = 16  # cyclic eps subgraph: bounded fixed-point iterations
         kw.setdefault("eps_iters", depth)
     else:
-        kw["eps_budget"] = 1
+        kw["eps_block_width"] = 1
+        kw["eps_rem_budget"] = 8
         kw["eps_iters"] = 0
     out = FrontierConfig(**kw)
     out.validate()
@@ -139,13 +167,118 @@ class StepState(NamedTuple):
     base: jnp.ndarray  # () float32
 
 
+class Candidates(NamedTuple):
+    """Flat candidate arcs from one expansion (block + remainder lanes)."""
+
+    dst: jnp.ndarray  # (N,) int32
+    cost: jnp.ndarray  # (N,) float32, +inf invalid
+    src_slot: jnp.ndarray  # (N,) int32
+    arc_id: jnp.ndarray  # (N,) int32, global arc index
+    overflow: jnp.ndarray  # () bool — remainder budget exceeded
+
+
+def _bitcast_f32(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+
+def expand_emitting(
+    st: StepState,
+    active: jnp.ndarray,  # (K,) bool
+    scores_t: jnp.ndarray,  # (V,) float32
+    pg: PackedGraph,
+    cfg: FrontierConfig,
+) -> Candidates:
+    K, W = cfg.frontier_size, cfg.block_width
+    R = cfg.rem_budget
+    safe = jnp.where(active, st.states, 0)
+    row_lo = pg.em_row_ptr[safe]
+    deg = jnp.where(active, pg.em_row_ptr[safe + 1] - row_lo, 0)
+
+    # Block lanes: one row gather of (K, W*5) -> every field of the first
+    # W arcs of every frontier state.
+    blk = pg.em_block[safe].reshape(K, W, EM_FIELDS)
+    w_arc = _bitcast_f32(blk[..., 0])  # +inf on padding lanes
+    nxt = blk[..., 1]
+    sidx = blk[..., 2]
+    lane_w = jnp.arange(W, dtype=jnp.int32)
+    cost_blk = jnp.where(
+        active[:, None], st.costs[:, None] + w_arc, INF
+    )
+    arc_blk = row_lo[:, None] + lane_w[None, :]
+    src_blk = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[:, None], (K, W)
+    )
+
+    # Remainder lanes: arcs W.. of fat states, exact via lane mapping.
+    rem_deg = jnp.maximum(deg - W, 0)
+    lm = map_lanes(rem_deg, R)
+    arc_rem = row_lo[lm.owner] + W + lm.within
+    rows = pg.em_flat[jnp.where(lm.valid, arc_rem, 0)]
+    cost_rem = jnp.where(
+        lm.valid, st.costs[lm.owner] + _bitcast_f32(rows[:, 0]), INF
+    )
+
+    dst = jnp.concatenate([nxt.reshape(-1), rows[:, 1]])
+    sidx_all = jnp.concatenate([sidx.reshape(-1), rows[:, 2]])
+    cost = jnp.concatenate([cost_blk.reshape(-1), cost_rem])
+    # Acoustic scores fused in (decodable-ctc.cc:22-29 lookup).
+    ac = -score_lookup(sidx_all, scores_t, cfg.score_onehot)
+    cost = cost + ac  # inf + finite stays inf
+    return Candidates(
+        dst=dst,
+        cost=cost,
+        src_slot=jnp.concatenate([src_blk.reshape(-1), lm.owner]),
+        arc_id=jnp.concatenate([arc_blk.reshape(-1), arc_rem]),
+        overflow=lm.total > R,
+    )
+
+
+def expand_eps(
+    st: StepState,
+    active: jnp.ndarray,
+    pg: PackedGraph,
+    cfg: FrontierConfig,
+) -> Candidates:
+    K, W = cfg.frontier_size, cfg.eps_block_width
+    R = cfg.eps_rem_budget
+    safe = jnp.where(active, st.states, 0)
+    row_lo = pg.eps_row_ptr[safe]
+    deg = jnp.where(active, pg.eps_row_ptr[safe + 1] - row_lo, 0)
+
+    blk = pg.eps_block[safe].reshape(K, W, EPS_FIELDS)
+    w_arc = _bitcast_f32(blk[..., 0])
+    nxt = blk[..., 1]
+    lane_w = jnp.arange(W, dtype=jnp.int32)
+    cost_blk = jnp.where(active[:, None], st.costs[:, None] + w_arc, INF)
+    arc_blk = row_lo[:, None] + lane_w[None, :]
+    src_blk = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[:, None], (K, W)
+    )
+
+    rem_deg = jnp.maximum(deg - W, 0)
+    lm = map_lanes(rem_deg, R)
+    arc_rem = row_lo[lm.owner] + W + lm.within
+    rows = pg.eps_flat[jnp.where(lm.valid, arc_rem, 0)]
+    cost_rem = jnp.where(
+        lm.valid, st.costs[lm.owner] + _bitcast_f32(rows[:, 0]), INF
+    )
+
+    return Candidates(
+        dst=jnp.concatenate([nxt.reshape(-1), rows[:, 1]]),
+        cost=jnp.concatenate([cost_blk.reshape(-1), cost_rem]),
+        src_slot=jnp.concatenate([src_blk.reshape(-1), lm.owner]),
+        arc_id=jnp.concatenate([arc_blk.reshape(-1), arc_rem]),
+        overflow=lm.total > R,
+    )
+
+
 class StepOut(NamedTuple):
     bp_emit: jnp.ndarray  # (K, 2) int32: (prev_slot, emitting arc id)
     bp_eps: jnp.ndarray  # (D, K, 2) int32: per eps iteration
     num_active: jnp.ndarray  # () int32
     best_cost: jnp.ndarray  # () float32, absolute
     cutoff: jnp.ndarray  # () float32, absolute cutoff used for expansion
-    overflow: jnp.ndarray  # () bool — any arc budget overflow this frame
+    overflow: jnp.ndarray  # () bool — any lane budget overflow this frame
 
 
 def _identity_bp(k: int) -> jnp.ndarray:
@@ -154,7 +287,7 @@ def _identity_bp(k: int) -> jnp.ndarray:
     )
 
 
-def start_state(start: int, cfg: FrontierConfig) -> StepState:
+def start_state(start, cfg: FrontierConfig) -> StepState:
     """Frontier containing only the start token at cost 0
     (`faster-decoder.cc:42-56` InitDecoding, before its eps closure)."""
     K = cfg.frontier_size
@@ -166,34 +299,29 @@ def start_state(start: int, cfg: FrontierConfig) -> StepState:
 def eps_iteration(
     st: StepState,
     cutoff_rel: jnp.ndarray,
-    ga: GraphArrays,
+    pg: PackedGraph,
     cfg: FrontierConfig,
     num_states: int,
 ) -> Tuple[StepState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One epsilon relaxation: expand eps arcs of every live token, merge
     with the incumbent frontier keeping per-state minima.
 
-    Returns (new_state, bp (K,2), changed, overflowed).  Reference
-    semantics (`faster-decoder.cc:59-119`): tokens with cost > cutoff are
-    not expanded, new tokens with cost > cutoff are dropped, and an
-    incumbent token is only replaced by a strictly cheaper one.
+    Reference semantics (`faster-decoder.cc:59-119`): tokens with cost >
+    cutoff are not expanded, new tokens with cost > cutoff are dropped,
+    and an incumbent token is only replaced by a strictly cheaper one.
     """
     K = cfg.frontier_size
     active = jnp.isfinite(st.costs) & (st.costs <= cutoff_rel)
-    ex = expand(st.states, active, ga.eps_row_ptr, cfg.eps_budget)
-    ncost = st.costs[ex.src_slot] + ga.eps_weight[ex.arc_id]
-    ncost = jnp.where(ex.valid & (ncost <= cutoff_rel), ncost, INF)
-    ndst = ga.eps_next[ex.arc_id]
+    cand = expand_eps(st, active, pg, cfg)
+    ncost = jnp.where(cand.cost <= cutoff_rel, cand.cost, INF)
 
     # Incumbents first: stable sort makes them win cost ties, so `changed`
     # only fires on strict improvement (matching FindOrAddToken/Insert).
-    cand_state = jnp.concatenate([st.states, ndst])
+    cand_state = jnp.concatenate([st.states, cand.dst])
     cand_cost = jnp.concatenate([st.costs, ncost])
-    cand_slot = jnp.concatenate(
-        [jnp.arange(K, dtype=jnp.int32), ex.src_slot]
-    )
+    cand_slot = jnp.concatenate([jnp.arange(K, dtype=jnp.int32), cand.src_slot])
     cand_arc = jnp.concatenate(
-        [jnp.full((K,), NO_ARC, jnp.int32), ex.arc_id]
+        [jnp.full((K,), NO_ARC, jnp.int32), cand.arc_id]
     )
 
     sel = dedup_select(cand_state, cand_cost, K, num_states)
@@ -207,21 +335,20 @@ def eps_iteration(
         axis=-1,
     ).astype(jnp.int32)
     changed = jnp.any(ok & (bp[:, 1] != NO_ARC))
-    overflowed = ex.total > cfg.eps_budget
-    return StepState(sel.states, sel.costs, st.base), bp, changed, overflowed
+    return StepState(sel.states, sel.costs, st.base), bp, changed, cand.overflow
 
 
 def eps_closure(
     st: StepState,
     cutoff_rel,
-    ga: GraphArrays,
+    pg: PackedGraph,
     cfg: FrontierConfig,
     num_states: int,
 ) -> Tuple[StepState, jnp.ndarray, jnp.ndarray]:
     """Run up to ``cfg.eps_iters`` epsilon relaxations with early-out.
 
-    Returns (state, bp (D, K, 2), overflowed).  Iterations after
-    convergence produce identity backpointers (host backtrace skips them).
+    Iterations after convergence produce identity backpointers (the host
+    backtrace skips them).
     """
     K, D = cfg.frontier_size, cfg.eps_iters
     ident = _identity_bp(K)
@@ -230,10 +357,8 @@ def eps_closure(
 
     def body(carry, _):
         cur, stop, ovf = carry
-        nxt, bp, changed, o = eps_iteration(cur, cutoff_rel, ga, cfg, num_states)
-        nxt = jax.tree.map(
-            lambda new, old: jnp.where(stop, old, new), nxt, cur
-        )
+        nxt, bp, changed, o = eps_iteration(cur, cutoff_rel, pg, cfg, num_states)
+        nxt = jax.tree.map(lambda new, old: jnp.where(stop, old, new), nxt, cur)
         bp = jnp.where(stop, ident, bp)
         new_stop = stop | ~changed
         return (nxt, new_stop, ovf | (~stop & o)), bp
@@ -245,15 +370,11 @@ def eps_closure(
 
 
 def init_closure(
-    ga: GraphArrays, start: int, num_states: int, cfg: FrontierConfig
+    pg: PackedGraph, start, num_states: int, cfg: FrontierConfig
 ) -> Tuple[StepState, jnp.ndarray]:
-    """InitDecoding's unbounded eps closure (`faster-decoder.cc:53`).
-
-    ``ga`` must be device (jnp) arrays.  Returns the initial frontier and
-    its (D, K, 2) backpointers.
-    """
+    """InitDecoding's unbounded eps closure (`faster-decoder.cc:53`)."""
     st = start_state(start, cfg)
-    st, bp, _ = eps_closure(st, jnp.float32(INF), ga, cfg, num_states)
+    st, bp, _ = eps_closure(st, jnp.float32(INF), pg, cfg, num_states)
     return st, bp
 
 
@@ -261,7 +382,7 @@ def frame_step(
     st: StepState,
     scores_t: jnp.ndarray,  # (V,) float32 log-probs for this frame
     frame_active,  # () bool — False once past this utterance's length
-    ga: GraphArrays,
+    pg: PackedGraph,
     cfg: FrontierConfig,
     num_states: int,
 ) -> Tuple[StepState, StepOut]:
@@ -277,24 +398,19 @@ def frame_step(
         costs_sorted=True,
     )
     active = jnp.isfinite(st.costs) & (st.costs < cut.cutoff)
-    ex = expand(st.states, active, ga.em_row_ptr, cfg.arc_budget)
-    w = ga.em_weight[ex.arc_id]
-    ac = -scores_t[ga.em_score_idx[ex.arc_id]]
-    ncost = st.costs[ex.src_slot] + w + ac
-    ncost = jnp.where(ex.valid, ncost, INF)
-    ndst = ga.em_next[ex.arc_id]
+    cand = expand_emitting(st, active, scores_t, pg, cfg)
 
-    best_new = jnp.min(ncost)
+    best_new = jnp.min(cand.cost)
     next_cutoff = best_new + cut.adaptive_beam
-    ncost = jnp.where(ncost < next_cutoff, ncost, INF)
+    ncost = jnp.where(cand.cost < next_cutoff, cand.cost, INF)
 
-    sel = dedup_select(ndst, ncost, K, num_states)
+    sel = dedup_select(cand.dst, ncost, K, num_states)
     ok = sel.cand_idx >= 0
     safe_idx = jnp.where(ok, sel.cand_idx, 0)
     bp_emit = jnp.stack(
         [
-            jnp.where(ok, ex.src_slot[safe_idx], 0),
-            jnp.where(ok, ex.arc_id[safe_idx], NO_ARC),
+            jnp.where(ok, cand.src_slot[safe_idx], 0),
+            jnp.where(ok, cand.arc_id[safe_idx], NO_ARC),
         ],
         axis=-1,
     ).astype(jnp.int32)
@@ -302,8 +418,7 @@ def frame_step(
     mid = StepState(sel.states, sel.costs, st.base)
     # Epsilon closure under the emitting-stage cutoff
     # (ProcessNonemitting(weight_cutoff), faster-decoder.cc:149-151).
-    eps_cut_rel = next_cutoff
-    mid, bp_eps, eps_ovf = eps_closure(mid, eps_cut_rel, ga, cfg, num_states)
+    mid, bp_eps, eps_ovf = eps_closure(mid, next_cutoff, pg, cfg, num_states)
 
     # Rebase relative costs so float32 never accumulates frame costs.
     m = mid.costs[0]
@@ -320,12 +435,16 @@ def frame_step(
         bp_emit=jnp.where(frame_active, bp_emit, ident),
         bp_eps=jnp.where(frame_active, bp_eps, ident_eps),
         num_active=jnp.where(
-            frame_active, jnp.sum(jnp.isfinite(mid.costs)), jnp.sum(jnp.isfinite(st.costs))
+            frame_active,
+            jnp.sum(jnp.isfinite(mid.costs)),
+            jnp.sum(jnp.isfinite(st.costs)),
         ).astype(jnp.int32),
         best_cost=jnp.where(
-            frame_active, mid.base + m_safe, st.base + jnp.where(jnp.isfinite(st.costs[0]), st.costs[0], 0.0)
+            frame_active,
+            mid.base + m_safe,
+            st.base + jnp.where(jnp.isfinite(st.costs[0]), st.costs[0], 0.0),
         ),
         cutoff=st.base + cut.cutoff,
-        overflow=frame_active & ((ex.total > cfg.arc_budget) | eps_ovf),
+        overflow=frame_active & (cand.overflow | eps_ovf),
     )
     return final_state, out

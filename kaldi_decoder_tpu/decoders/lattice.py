@@ -1,0 +1,552 @@
+"""Lattice decoder API: batched device decoding + reference-parity classes.
+
+* :class:`BatchedLatticeDecoder` — TPU-native batched lattice decoding.
+* :class:`LatticeSimpleDecoder` + :class:`LatticeSimpleDecoderConfig` —
+  exact API parity with the reference
+  (`kaldi-decoder/python/csrc/lattice-simple-decoder.cc:11-68`).
+* :class:`LatticeFasterDecoder` + :class:`LatticeFasterDecoderConfig` —
+  the capability the reference declares but leaves unimplemented
+  (`kaldi-decoder/csrc/lattice-faster-decoder.cc:12-13` empty stub;
+  config fields from `lattice-faster-decoder.h:23-134`): lattice
+  generation with adaptive-beam/max-active pruning.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_decoder_tpu.decodable import DecodableInterface, scores_from_decodable
+from kaldi_decoder_tpu.decoders.frontier import (
+    FrontierConfig,
+    StepState,
+    config_for_graph,
+)
+from kaldi_decoder_tpu.decoders.lattice_dev import (
+    LatticeDevConfig,
+    build_lattice_chunk_fn,
+    init_closure_rec,
+    lattice_config_for_graph,
+)
+from kaldi_decoder_tpu.decoders.viterbi import _round_up
+from kaldi_decoder_tpu.fst.csr import CsrGraph, compile_fst
+from kaldi_decoder_tpu.fst.fst import INF, Lattice, StdVectorFst
+from kaldi_decoder_tpu.lattice.prune import (
+    PrunedLattice,
+    prune_lattice,
+    raw_lattice_to_fst,
+)
+from kaldi_decoder_tpu.fst.ops import shortest_path
+from kaldi_decoder_tpu.utils.logging import DecodeStats
+
+INT32_MAX = 2**31 - 1
+
+
+# ---------------------------------------------------------------------------
+# Configs (reference field names and defaults)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class LatticeSimpleDecoderConfig:
+    """lattice-simple-decoder.h:24-84 parity."""
+
+    beam: float = 16.0
+    lattice_beam: float = 10.0
+    prune_interval: int = 25
+    determinize_lattice: bool = True
+    prune_lattice: bool = True
+    beam_ratio: float = 0.9
+    prune_scale: float = 0.1
+
+    def check(self) -> None:
+        if not (self.beam > 0 and self.lattice_beam > 0 and self.prune_interval > 0):
+            raise ValueError(
+                "need beam > 0, lattice_beam > 0, prune_interval > 0"
+            )
+
+    def __str__(self) -> str:
+        return (
+            f"LatticeSimpleDecoderConfig(beam={self.beam:g}, "
+            f"lattice_beam={self.lattice_beam:g}, "
+            f"prune_interval={self.prune_interval}, "
+            f"determinize_lattice={self.determinize_lattice}, "
+            f"prune_lattice={self.prune_lattice}, "
+            f"beam_ratio={self.beam_ratio:g}, prune_scale={self.prune_scale:g})"
+        )
+
+
+@dataclasses.dataclass
+class LatticeFasterDecoderConfig:
+    """lattice-faster-decoder.h:23-134 parity (memory-pool block sizes are
+    accepted for compatibility; the TPU decoder has no token pools)."""
+
+    beam: float = 16.0
+    max_active: int = INT32_MAX
+    min_active: int = 200
+    lattice_beam: float = 10.0
+    prune_interval: int = 25
+    determinize_lattice: bool = True
+    beam_delta: float = 0.5
+    hash_ratio: float = 2.0
+    prune_scale: float = 0.1
+    memory_pool_tokens_block_size: int = 256
+    memory_pool_links_block_size: int = 256
+
+    def check(self) -> None:
+        # lattice-faster-decoder.h:120-127 Check().
+        if not (
+            self.beam > 0.0
+            and self.max_active > 1
+            and self.lattice_beam > 0.0
+            and self.min_active <= self.max_active
+            and self.prune_interval > 0
+            and self.beam_delta > 0.0
+            and self.hash_ratio >= 1.0
+            and self.prune_scale > 0.0
+            and self.prune_scale < 1.0
+        ):
+            raise ValueError("invalid LatticeFasterDecoderConfig")
+
+    def __str__(self) -> str:
+        return (
+            f"LatticeFasterDecoderConfig(beam={self.beam:g}, "
+            f"max_active={self.max_active}, min_active={self.min_active}, "
+            f"lattice_beam={self.lattice_beam:g}, "
+            f"prune_interval={self.prune_interval}, "
+            f"determinize_lattice={self.determinize_lattice}, "
+            f"beam_delta={self.beam_delta:g}, hash_ratio={self.hash_ratio:g}, "
+            f"prune_scale={self.prune_scale:g})"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Batched decoder
+# ---------------------------------------------------------------------------
+
+
+def _as_graph(fst) -> CsrGraph:
+    if isinstance(fst, CsrGraph):
+        return fst
+    if isinstance(fst, StdVectorFst):
+        return compile_fst(fst)
+    raise TypeError(f"expected StdVectorFst or CsrGraph, got {type(fst)!r}")
+
+
+@dataclasses.dataclass
+class LatticeResult:
+    """Host-side batched lattice decode result."""
+
+    graph: CsrGraph
+    cfg: LatticeDevConfig
+    lattice_beam: float
+    scores: np.ndarray  # (B, T, V)
+    lengths: np.ndarray  # (B,)
+    init_states: np.ndarray  # (K,)
+    init_costs: np.ndarray  # (K,)
+    init_eps_records: np.ndarray  # (D, R_eps, 2)
+    frame_states: np.ndarray  # (T, B, K)
+    frame_costs: np.ndarray  # (T, B, K)
+    em_records: np.ndarray  # (T, B, R_em, 2)
+    eps_records: np.ndarray  # (T, B, D, R_eps, 2)
+    num_active: np.ndarray  # (T, B)
+    cutoffs: np.ndarray  # (T, B)
+    overflows: np.ndarray  # (T, B)
+
+    def __post_init__(self):
+        self._pruned: dict = {}
+
+    @property
+    def batch_size(self) -> int:
+        return self.scores.shape[0]
+
+    def _prune(self, b: int, use_final_probs: bool = True) -> Optional[PrunedLattice]:
+        key = (b, use_final_probs)
+        if key not in self._pruned:
+            L = int(self.lengths[b])
+            frame_states = np.concatenate(
+                [self.init_states[None], self.frame_states[:L, b]], axis=0
+            )
+            frame_costs = np.concatenate(
+                [self.init_costs[None], self.frame_costs[:L, b]], axis=0
+            )
+            self._pruned[key] = prune_lattice(
+                frame_states=frame_states,
+                frame_costs=frame_costs,
+                init_eps_records=self.init_eps_records,
+                em_records=self.em_records[:L, b],
+                eps_records=self.eps_records[:L, b],
+                scores=self.scores[b, :L],
+                graph=self.graph,
+                lattice_beam=self.lattice_beam,
+                use_final_probs=use_final_probs,
+            )
+        return self._pruned[key]
+
+    def raw_lattice(self, b: int = 0, use_final_probs: bool = True) -> Optional[Lattice]:
+        pl = self._prune(b, use_final_probs)
+        if pl is None:
+            return None
+        return raw_lattice_to_fst(pl, use_final_probs)
+
+    def best_path(self, b: int = 0, use_final_probs: bool = True) -> Optional[Lattice]:
+        """GetBestPath == ShortestPath(GetRawLattice)
+        (`lattice-simple-decoder.cc:574-580`)."""
+        lat = self.raw_lattice(b, use_final_probs)
+        if lat is None:
+            return None
+        sp = shortest_path(lat)
+        return sp if sp.num_states > 0 else None
+
+    def reached_final(self, b: int = 0) -> bool:
+        pl = self._prune(b)
+        return pl is not None and np.isfinite(pl.final_relative_cost)
+
+    def final_relative_cost(self, b: int = 0) -> float:
+        pl = self._prune(b)
+        return INF if pl is None else pl.final_relative_cost
+
+    def stats(self, b: int = 0) -> DecodeStats:
+        L = int(self.lengths[b])
+        return DecodeStats(
+            num_frames=L,
+            active_per_frame=self.num_active[:L, b],
+            cutoff_per_frame=self.cutoffs[:L, b],
+            arc_budget_overflows=int(np.sum(self.overflows[:L, b])),
+        )
+
+
+class BatchedLatticeDecoder:
+    """Batched lattice-generating decoder over a device-resident graph.
+
+    The union capability: LatticeSimpleDecoder's lattice generation
+    (`lattice-simple-decoder.cc`) + FasterDecoder's adaptive-beam and
+    max-active pruning (`faster-decoder.cc:244-336`).
+    """
+
+    def __init__(
+        self,
+        graph,
+        frontier: Optional[FrontierConfig] = None,
+        lattice_beam: float = 10.0,
+        em_records: Optional[int] = None,
+        eps_records: Optional[int] = None,
+        pad_time_to: int = 128,
+        mesh=None,
+        data_axis: str = "data",
+    ):
+        self.graph = _as_graph(graph)
+        fc = frontier if frontier is not None else config_for_graph(self.graph)
+        fc.validate()
+        self.cfg = lattice_config_for_graph(
+            self.graph, fc, em_records=em_records, eps_records=eps_records
+        )
+        self.lattice_beam = float(lattice_beam)
+        self.pad_time_to = pad_time_to
+        self.mesh = mesh
+        self._batch_multiple = mesh.devices.size if mesh is not None else 1
+        from kaldi_decoder_tpu.fst.pack import pack_graph
+
+        fc2 = self.cfg.frontier
+        self._pg_dev = jax.tree.map(
+            jnp.asarray,
+            pack_graph(self.graph, fc2.block_width, fc2.eps_block_width),
+        )
+        self._chunk_fn = build_lattice_chunk_fn(self.graph, self.cfg, mesh, data_axis)
+
+    def _init(self, batch: int):
+        st, recs = init_closure_rec(
+            self._pg_dev, self.graph.start_state, self.graph.num_states, self.cfg
+        )
+        stb = StepState(
+            states=jnp.broadcast_to(st.states, (batch,) + st.states.shape),
+            costs=jnp.broadcast_to(st.costs, (batch,) + st.costs.shape),
+            base=jnp.broadcast_to(st.base, (batch,)),
+        )
+        return stb, np.asarray(st.states), np.asarray(st.costs), np.asarray(recs)
+
+    def decode(
+        self, scores: np.ndarray, lengths: Optional[np.ndarray] = None
+    ) -> LatticeResult:
+        scores = np.asarray(scores, dtype=np.float32)
+        if scores.ndim == 2:
+            scores = scores[None]
+        B, T, V = scores.shape
+        if self.graph.max_score_idx >= V:
+            raise ValueError(
+                f"graph references score index {self.graph.max_score_idx} but "
+                f"scores have only {V} columns"
+            )
+        if lengths is None:
+            lengths = np.full((B,), T, np.int32)
+        lengths = np.asarray(lengths, dtype=np.int32)
+
+        Tp = max(_round_up(T, self.pad_time_to), self.pad_time_to)
+        Bp = _round_up(B, self._batch_multiple)
+        if Tp != T or Bp != B:
+            scores_p = np.zeros((Bp, Tp, V), np.float32)
+            scores_p[:B, :T] = scores
+            lengths_p = np.zeros((Bp,), np.int32)
+            lengths_p[:B] = lengths
+        else:
+            scores_p, lengths_p = scores, lengths
+
+        st0, init_states, init_costs, init_recs = self._init(Bp)
+        stf, outs = self._chunk_fn(
+            self._pg_dev, jnp.asarray(scores_p), jnp.asarray(lengths_p), st0
+        )
+        return LatticeResult(
+            graph=self.graph,
+            cfg=self.cfg,
+            lattice_beam=self.lattice_beam,
+            scores=scores,
+            lengths=lengths,
+            init_states=init_states,
+            init_costs=init_costs,
+            init_eps_records=init_recs,
+            frame_states=np.asarray(outs.frontier_states),
+            frame_costs=np.asarray(outs.frontier_costs),
+            em_records=np.asarray(outs.em_records),
+            eps_records=np.asarray(outs.eps_records),
+            num_active=np.asarray(outs.num_active),
+            cutoffs=np.asarray(outs.cutoff),
+            overflows=np.asarray(outs.overflow),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity streaming classes
+# ---------------------------------------------------------------------------
+
+
+class _StreamingLattice:
+    """Shared streaming machinery for the lattice decoder API classes."""
+
+    chunk_pad: int = 64
+
+    def __init__(self, fst, frontier_kw: dict, lattice_beam: float, config):
+        self._graph = _as_graph(fst)
+        fc = config_for_graph(self._graph, **frontier_kw)
+        self._dev_cfg = lattice_config_for_graph(self._graph, fc)
+        self._lattice_beam = float(lattice_beam)
+        self._config = config
+        from kaldi_decoder_tpu.fst.pack import pack_graph
+
+        fcw = self._dev_cfg.frontier
+        self._pg_dev = jax.tree.map(
+            jnp.asarray,
+            pack_graph(self._graph, fcw.block_width, fcw.eps_block_width),
+        )
+        self._chunk_fn = build_lattice_chunk_fn(self._graph, self._dev_cfg)
+        self._reset()
+
+    def _reset(self):
+        self._num_frames_decoded = -1
+        self._state: Optional[StepState] = None
+        self._init_states = None
+        self._init_costs = None
+        self._init_recs = None
+        self._chunks: List[dict] = []
+        self._finalized = False
+        self._result_cache: Optional[LatticeResult] = None
+
+    def get_config(self):
+        return self._config
+
+    def init_decoding(self) -> None:
+        self._reset()
+        st, recs = init_closure_rec(
+            self._pg_dev, self._graph.start_state, self._graph.num_states,
+            self._dev_cfg,
+        )
+        self._state = StepState(st.states[None], st.costs[None], st.base[None])
+        self._init_states = np.asarray(st.states)
+        self._init_costs = np.asarray(st.costs)
+        self._init_recs = np.asarray(recs)
+        self._num_frames_decoded = 0
+
+    def advance_decoding(
+        self, decodable: DecodableInterface, max_num_frames: int = -1
+    ) -> None:
+        assert self._num_frames_decoded >= 0, "call init_decoding() first"
+        assert not self._finalized, "cannot advance after finalize_decoding()"
+        num_frames_ready = decodable.num_frames_ready()
+        assert num_frames_ready >= self._num_frames_decoded
+        target = num_frames_ready
+        if max_num_frames >= 0:
+            target = min(target, self._num_frames_decoded + max_num_frames)
+        n_new = target - self._num_frames_decoded
+        if n_new <= 0:
+            return
+        scores = scores_from_decodable(decodable, self._num_frames_decoded, target)
+        if self._graph.max_score_idx >= scores.shape[1]:
+            raise ValueError(
+                f"graph references score index {self._graph.max_score_idx} but "
+                f"decodable has only {scores.shape[1]} indices"
+            )
+        Tp = _round_up(n_new, self.chunk_pad)
+        scores_p = np.zeros((1, Tp, scores.shape[1]), np.float32)
+        scores_p[0, :n_new] = scores
+        stf, outs = self._chunk_fn(
+            self._pg_dev, jnp.asarray(scores_p), jnp.array([n_new], jnp.int32),
+            self._state,
+        )
+        self._state = stf
+        self._chunks.append(
+            {
+                "scores": scores,
+                "frame_states": np.asarray(outs.frontier_states)[:n_new],
+                "frame_costs": np.asarray(outs.frontier_costs)[:n_new],
+                "em_records": np.asarray(outs.em_records)[:n_new],
+                "eps_records": np.asarray(outs.eps_records)[:n_new],
+                "num_active": np.asarray(outs.num_active)[:n_new],
+                "cutoffs": np.asarray(outs.cutoff)[:n_new],
+                "overflows": np.asarray(outs.overflow)[:n_new],
+            }
+        )
+        self._result_cache = None
+        self._num_frames_decoded = target
+
+    def decode(self, decodable: DecodableInterface) -> bool:
+        """Full decode + FinalizeDecoding; True iff final costs exist
+        (`lattice-simple-decoder.cc:53-73`)."""
+        self.init_decoding()
+        self.advance_decoding(decodable)
+        self.finalize_decoding()
+        return self.reached_final()
+
+    def finalize_decoding(self) -> None:
+        """FinalizeDecoding parity (`lattice-simple-decoder.cc:407-420`).
+
+        On the TPU path the backward prune happens lazily on the host when
+        a lattice is requested; this records that final-probs semantics are
+        now locked in (`:588-591` forbids use_final_probs=False after)."""
+        self._finalized = True
+
+    def num_frames_decoded(self) -> int:
+        return self._num_frames_decoded
+
+    def _result(self) -> LatticeResult:
+        if self._result_cache is not None:
+            return self._result_cache
+        assert self._state is not None
+        T = self._num_frames_decoded
+        K = self._dev_cfg.frontier.frontier_size
+        D = self._dev_cfg.frontier.eps_iters
+        Rem, Reps = self._dev_cfg.em_records, self._dev_cfg.eps_records
+        if self._chunks:
+            cat = lambda k: np.concatenate([c[k] for c in self._chunks], axis=0)
+            scores = np.concatenate([c["scores"] for c in self._chunks], axis=0)[None]
+            fs, fcost = cat("frame_states"), cat("frame_costs")
+            em, ep = cat("em_records"), cat("eps_records")
+            na, co, ov = cat("num_active"), cat("cutoffs"), cat("overflows")
+        else:
+            scores = np.zeros((1, 0, 1), np.float32)
+            fs = np.zeros((0, 1, K), np.int32)
+            fcost = np.zeros((0, 1, K), np.float32)
+            em = np.zeros((0, 1, Rem, 2), np.int32)
+            ep = np.zeros((0, 1, D, Reps, 2), np.int32)
+            na = np.zeros((0, 1), np.int32)
+            co = np.zeros((0, 1), np.float32)
+            ov = np.zeros((0, 1), bool)
+        self._result_cache = LatticeResult(
+            graph=self._graph,
+            cfg=self._dev_cfg,
+            lattice_beam=self._lattice_beam,
+            scores=scores,
+            lengths=np.array([T], np.int32),
+            init_states=self._init_states,
+            init_costs=self._init_costs,
+            init_eps_records=self._init_recs,
+            frame_states=fs,
+            frame_costs=fcost,
+            em_records=em,
+            eps_records=ep,
+            num_active=na,
+            cutoffs=co,
+            overflows=ov,
+        )
+        return self._result_cache
+
+    def reached_final(self) -> bool:
+        if self._num_frames_decoded == 0:
+            # No frames: final iff start's closure touches a final state.
+            costs = self._init_costs
+            fc = self._graph.arrays.final_cost[self._init_states]
+            return bool(np.any(np.isfinite(costs) & np.isfinite(fc)))
+        return self._result().reached_final(0)
+
+    def final_relative_cost(self) -> float:
+        """ComputeFinalCosts semantics (`lattice-simple-decoder.cc:522-560`)."""
+        st = self._state
+        if st is None:
+            return INF
+        costs = np.asarray(st.base)[:, None] + np.asarray(st.costs)
+        costs = costs[0]
+        if not np.any(np.isfinite(costs)):
+            return INF
+        fc = self._graph.arrays.final_cost[np.asarray(st.states)[0]]
+        best = float(np.min(costs))
+        with np.errstate(invalid="ignore"):
+            best_final = float(np.min(costs + fc))
+        if not np.isfinite(best_final):
+            return INF
+        return best_final - best
+
+    def get_raw_lattice(self, use_final_probs: bool = True) -> Tuple[bool, Lattice]:
+        if self._finalized and not use_final_probs:
+            raise RuntimeError(
+                "You cannot call finalize_decoding() and then call "
+                "get_raw_lattice() with use_final_probs == false"
+            )  # lattice-simple-decoder.cc:588-591
+        lat = self._result().raw_lattice(0, use_final_probs)
+        if lat is None:
+            return False, Lattice()
+        return True, lat
+
+    def get_best_path(self, use_final_probs: bool = True) -> Tuple[bool, Lattice]:
+        ok, lat = self.get_raw_lattice(use_final_probs)
+        if not ok:
+            return False, Lattice()
+        sp = shortest_path(lat)
+        return sp.num_states > 0, sp
+
+
+class LatticeSimpleDecoder(_StreamingLattice):
+    """LatticeSimpleDecoder parity (`lattice-simple-decoder.h:90-320`):
+    beam-only pruning, lattice output."""
+
+    def __init__(self, fst, config: Optional[LatticeSimpleDecoderConfig] = None):
+        config = config or LatticeSimpleDecoderConfig()
+        config.check()
+        super().__init__(
+            fst,
+            dict(beam=config.beam, max_active=INT32_MAX, min_active=0),
+            config.lattice_beam,
+            config,
+        )
+
+
+class LatticeFasterDecoder(_StreamingLattice):
+    """The reference's declared-but-unimplemented decoder, realized:
+    lattice generation + max-active/adaptive-beam pruning (BASELINE
+    config #3)."""
+
+    def __init__(self, fst, config: Optional[LatticeFasterDecoderConfig] = None):
+        config = config or LatticeFasterDecoderConfig()
+        config.check()
+        super().__init__(
+            fst,
+            dict(
+                beam=config.beam,
+                max_active=config.max_active,
+                min_active=config.min_active,
+                beam_delta=config.beam_delta,
+            ),
+            config.lattice_beam,
+            config,
+        )

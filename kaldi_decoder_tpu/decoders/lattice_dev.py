@@ -1,0 +1,284 @@
+"""Batched device lattice decoder (LatticeSimple + LatticeFaster capability).
+
+Device side: the same frame-synchronous frontier scan as the Viterbi
+decoder, but instead of one backpointer per surviving token it emits **all**
+surviving arc candidates per frame as records ``(src_state, arc_id)`` — the
+array equivalent of the reference's ``ForwardLink`` lists
+(`kaldi-decoder/csrc/lattice-simple-decoder.h:164-180`, created at
+`lattice-simple-decoder.cc:393-398` for emitting arcs and `:122-191` for
+epsilon arcs).  Records are compacted to a bounded per-frame buffer.
+
+Host side (:mod:`kaldi_decoder_tpu.lattice`): tokens are keyed by
+``(frame, state)`` exactly as the reference keys them by Token pointers per
+frame; the backward extra-cost sweep, lattice-beam pruning, final-prob
+folding and raw-lattice construction reproduce
+``FinalizeDecoding``/``PruneForwardLinks``/``GetRawLattice``
+(`lattice-simple-decoder.cc:407-420`, `:228-305`, `:584-657`).
+
+The union of LatticeSimpleDecoder semantics with FasterDecoder's
+adaptive-beam/max-active pruning is exactly the capability the reference
+declares but never implements (`lattice-faster-decoder.cc:12-13` is an
+empty stub): record emission rides the same cutoffs the Viterbi frontier
+uses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_decoder_tpu.decoders.frontier import (
+    FrontierConfig,
+    StepState,
+    expand_emitting,
+    expand_eps,
+    start_state,
+)
+from kaldi_decoder_tpu.fst.csr import CsrGraph
+from kaldi_decoder_tpu.fst.pack import PackedGraph
+from kaldi_decoder_tpu.ops.cutoff import get_cutoff
+from kaldi_decoder_tpu.ops.segment import dedup_select
+
+INF = jnp.inf
+
+
+@dataclasses.dataclass(frozen=True)
+class LatticeDevConfig:
+    """Static lattice-decode parameters: frontier config + record buffers."""
+
+    frontier: FrontierConfig
+    # Per-frame emitting-record buffer size.
+    em_records: int = 4096
+    # Per-eps-iteration record buffer size.
+    eps_records: int = 1024
+
+
+def lattice_config_for_graph(
+    graph: CsrGraph, frontier: FrontierConfig, em_records=None, eps_records=None
+) -> LatticeDevConfig:
+    em_r = em_records or min(frontier.num_candidates, 4096)
+    em_r = min(em_r, frontier.num_candidates)
+    eps_cands = (
+        frontier.frontier_size * frontier.eps_block_width + frontier.eps_rem_budget
+    )
+    eps_r = eps_records or min(max(eps_cands // 4, 8), 2048)
+    eps_r = min(eps_r, eps_cands)
+    return LatticeDevConfig(frontier=frontier, em_records=em_r, eps_records=eps_r)
+
+
+def compact_records(
+    src_state: jnp.ndarray, arc_id: jnp.ndarray, valid: jnp.ndarray, r: int
+):
+    """Pack valid records to the front of an (r, 2) buffer; -1 padded.
+
+    Stable, so records keep candidate order.  Returns (records, overflowed).
+    """
+    order = jnp.argsort(~valid)  # False (valid) sorts first; stable
+    take = order[:r]
+    ok = valid[take]
+    rec = jnp.stack(
+        [
+            jnp.where(ok, src_state[take], -1),
+            jnp.where(ok, arc_id[take], -1),
+        ],
+        axis=-1,
+    ).astype(jnp.int32)
+    return rec, jnp.sum(valid) > r
+
+
+class LatticeStepOut(NamedTuple):
+    em_records: jnp.ndarray  # (R_em, 2): (src_state in frame t, emitting arc)
+    eps_records: jnp.ndarray  # (D, R_eps, 2): (src_state in frame t+1, eps arc)
+    frontier_states: jnp.ndarray  # (K,) tokens of frame t+1
+    frontier_costs: jnp.ndarray  # (K,) absolute costs (alpha values)
+    num_active: jnp.ndarray
+    best_cost: jnp.ndarray
+    cutoff: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+def eps_iteration_rec(
+    st: StepState,
+    cutoff_rel,
+    pg: PackedGraph,
+    cfg: FrontierConfig,
+    num_states: int,
+    r_eps: int,
+):
+    """Epsilon relaxation that also emits link records.
+
+    Unlike the Viterbi variant, *every* in-beam eps candidate becomes a
+    record (the reference creates a ForwardLink per eps arc under the
+    cutoff, `lattice-simple-decoder.cc:170-186`), while the frontier still
+    keeps only per-state minima.
+    """
+    K = cfg.frontier_size
+    active = jnp.isfinite(st.costs) & (st.costs <= cutoff_rel)
+    cand = expand_eps(st, active, pg, cfg)
+    nvalid = jnp.isfinite(cand.cost) & (cand.cost <= cutoff_rel)
+    ncost = jnp.where(nvalid, cand.cost, INF)
+
+    rec, rec_ovf = compact_records(
+        st.states[cand.src_slot], cand.arc_id, nvalid, r_eps
+    )
+
+    cand_state = jnp.concatenate([st.states, cand.dst])
+    cand_cost = jnp.concatenate([st.costs, ncost])
+    sel = dedup_select(cand_state, cand_cost, K, num_states)
+    # changed: any selected slot won via a fresh candidate (index >= K).
+    changed = jnp.any((sel.cand_idx >= K) & jnp.isfinite(sel.costs))
+    ovf = cand.overflow | rec_ovf
+    return StepState(sel.states, sel.costs, st.base), rec, changed, ovf
+
+
+def eps_closure_rec(
+    st: StepState,
+    cutoff_rel,
+    pg: PackedGraph,
+    cfg: FrontierConfig,
+    num_states: int,
+    r_eps: int,
+):
+    D = cfg.eps_iters
+    if D == 0:
+        return st, jnp.full((0, r_eps, 2), -1, jnp.int32), jnp.bool_(False)
+    empty = jnp.full((r_eps, 2), -1, jnp.int32)
+
+    def body(carry, _):
+        cur, stop, ovf = carry
+        nxt, rec, changed, o = eps_iteration_rec(
+            cur, cutoff_rel, pg, cfg, num_states, r_eps
+        )
+        nxt = jax.tree.map(lambda new, old: jnp.where(stop, old, new), nxt, cur)
+        rec = jnp.where(stop, empty, rec)
+        return (nxt, stop | ~changed, ovf | (~stop & o)), rec
+
+    (st, _, ovf), recs = jax.lax.scan(
+        body, (st, jnp.bool_(False), jnp.bool_(False)), None, length=D
+    )
+    return st, recs, ovf
+
+
+def lattice_frame_step(
+    st: StepState,
+    scores_t: jnp.ndarray,
+    frame_active,
+    pg: PackedGraph,
+    cfg: LatticeDevConfig,
+    num_states: int,
+) -> Tuple[StepState, LatticeStepOut]:
+    """One lattice frame: emitting expansion with record emission, then
+    record-emitting epsilon closure, then rebase."""
+    fc = cfg.frontier
+    K = fc.frontier_size
+
+    cut = get_cutoff(
+        st.costs, fc.beam, fc.max_active, fc.min_active, fc.beam_delta,
+        costs_sorted=True,
+    )
+    active = jnp.isfinite(st.costs) & (st.costs < cut.cutoff)
+    cand = expand_emitting(st, active, scores_t, pg, fc)
+
+    best_new = jnp.min(cand.cost)
+    next_cutoff = best_new + cut.adaptive_beam
+    nvalid = jnp.isfinite(cand.cost) & (cand.cost < next_cutoff)
+    ncost = jnp.where(nvalid, cand.cost, INF)
+
+    em_rec, em_rec_ovf = compact_records(
+        st.states[cand.src_slot], cand.arc_id, nvalid, cfg.em_records
+    )
+
+    sel = dedup_select(cand.dst, ncost, K, num_states)
+    mid = StepState(sel.states, sel.costs, st.base)
+    mid, eps_recs, eps_ovf = eps_closure_rec(
+        mid, next_cutoff, pg, fc, num_states, cfg.eps_records
+    )
+
+    m = mid.costs[0]
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    out_state = StepState(mid.states, mid.costs - m_safe, mid.base + m_safe)
+
+    final_state = jax.tree.map(
+        lambda new, old: jnp.where(frame_active, new, old), out_state, st
+    )
+    empty_em = jnp.full((cfg.em_records, 2), -1, jnp.int32)
+    empty_eps = jnp.full((fc.eps_iters, cfg.eps_records, 2), -1, jnp.int32)
+    out = LatticeStepOut(
+        em_records=jnp.where(frame_active, em_rec, empty_em),
+        eps_records=jnp.where(frame_active, eps_recs, empty_eps),
+        frontier_states=final_state.states,
+        frontier_costs=final_state.base + final_state.costs,
+        num_active=jnp.sum(jnp.isfinite(final_state.costs)).astype(jnp.int32),
+        best_cost=final_state.base,
+        cutoff=st.base + cut.cutoff,
+        overflow=frame_active & (cand.overflow | em_rec_ovf | eps_ovf),
+    )
+    return final_state, out
+
+
+def init_closure_rec(pg, start: int, num_states: int, cfg: LatticeDevConfig):
+    """InitDecoding + its eps closure, emitting records
+    (`lattice-simple-decoder.cc:17-34`)."""
+    return _build_init_rec_fn(num_states, cfg)(pg, jnp.int32(start))
+
+
+@functools.lru_cache(maxsize=None)
+def _build_init_rec_fn(S: int, cfg: LatticeDevConfig):
+    def init(pg, start):
+        st = start_state(start, cfg.frontier)
+        st, recs, _ = eps_closure_rec(
+            st, jnp.float32(INF), pg, cfg.frontier, S, cfg.eps_records
+        )
+        return st, recs
+
+    return jax.jit(init)
+
+
+def build_lattice_chunk_fn(
+    graph: CsrGraph, cfg: LatticeDevConfig, mesh=None, data_axis="data"
+):
+    return _build_lattice_chunk_fn_cached(graph.num_states, cfg, mesh, data_axis)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_lattice_chunk_fn_cached(
+    S: int, cfg: LatticeDevConfig, mesh, data_axis: str
+):
+    # Cached on static info only (see viterbi._build_chunk_fn_cached).
+    step = functools.partial(lattice_frame_step, cfg=cfg, num_states=S)
+
+    def chunk(pg, scores, lengths, st0: StepState):
+        scores_tm = jnp.moveaxis(scores, 1, 0)
+
+        def body(st, inp):
+            scores_t, t = inp
+            active = t < lengths
+            new_st, out = jax.vmap(lambda s, sc, a: step(s, sc, a, pg))(
+                st, scores_t, active
+            )
+            return new_st, out
+
+        ts = jnp.arange(scores_tm.shape[0], dtype=jnp.int32)
+        stf, outs = jax.lax.scan(body, st0, (scores_tm, ts))
+        return stf, outs
+
+    if mesh is None:
+        return jax.jit(chunk)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    batch = NamedSharding(mesh, P(data_axis))
+    tb = NamedSharding(mesh, P(None, data_axis))
+    return jax.jit(
+        chunk,
+        in_shardings=(repl, batch, batch, StepState(batch, batch, batch)),
+        out_shardings=(
+            StepState(batch, batch, batch),
+            LatticeStepOut(*([tb] * len(LatticeStepOut._fields))),
+        ),
+    )

@@ -28,6 +28,7 @@ import numpy as np
 from kaldi_decoder_tpu.decoders.frontier import (
     NO_ARC,
     FrontierConfig,
+    StepOut,
     StepState,
     config_for_graph,
     frame_step,
@@ -35,6 +36,7 @@ from kaldi_decoder_tpu.decoders.frontier import (
 )
 from kaldi_decoder_tpu.fst.csr import CsrGraph
 from kaldi_decoder_tpu.fst.fst import INF, Lattice
+from kaldi_decoder_tpu.fst.pack import pack_graph
 from kaldi_decoder_tpu.fst.ops import remove_eps_local
 from kaldi_decoder_tpu.utils.logging import DecodeStats, get_logger
 
@@ -50,18 +52,29 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def build_chunk_fn(graph: CsrGraph, cfg: FrontierConfig):
+def build_chunk_fn(graph: CsrGraph, cfg: FrontierConfig, mesh=None, data_axis="data"):
     """Returns jitted fn(ga, scores(B,T,V), lengths(B,), st0) -> (stF, outs).
 
     ``lengths`` counts frames *within this chunk* still to decode (frames
     t >= lengths are no-ops, freezing that utterance's frontier) — this is
     what makes streaming AdvanceDecoding and ragged batches work.
+
+    With ``mesh`` set, the graph is replicated and every batch-leading
+    array (scores, lengths, carried frontier, outputs) is sharded over
+    ``data_axis`` — data-parallel decode across chips with no collectives
+    in the hot loop.
     """
-    S = graph.num_states
+    return _build_chunk_fn_cached(graph.num_states, cfg, mesh, data_axis)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_chunk_fn_cached(S: int, cfg: FrontierConfig, mesh, data_axis: str):
+    # Cached on static info only — the graph's arrays are runtime args, so
+    # one compiled executable serves every decoder instance with the same
+    # state count, config and array shapes (jit re-specializes on shapes).
     step = functools.partial(frame_step, cfg=cfg, num_states=S)
 
-    @jax.jit
-    def chunk(ga, scores, lengths, st0: StepState):
+    def chunk(pg, scores, lengths, st0: StepState):
         scores_tm = jnp.moveaxis(scores, 1, 0)  # (T, B, V)
         T = scores_tm.shape[0]
 
@@ -69,7 +82,7 @@ def build_chunk_fn(graph: CsrGraph, cfg: FrontierConfig):
             scores_t, t = inp
             active = t < lengths
             new_st, out = jax.vmap(
-                lambda s, sc, a: step(s, sc, a, ga)
+                lambda s, sc, a: step(s, sc, a, pg)
             )(st, scores_t, active)
             return new_st, out
 
@@ -77,12 +90,43 @@ def build_chunk_fn(graph: CsrGraph, cfg: FrontierConfig):
         stf, outs = jax.lax.scan(body, st0, (scores_tm, ts))
         return stf, outs
 
-    return chunk
+    if mesh is None:
+        return jax.jit(chunk)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    batch = NamedSharding(mesh, P(data_axis))
+    time_batch = NamedSharding(mesh, P(None, data_axis))
+    return jax.jit(
+        chunk,
+        in_shardings=(repl, batch, batch, StepState(batch, batch, batch)),
+        out_shardings=(
+            StepState(batch, batch, batch),
+            StepOut(
+                bp_emit=time_batch,
+                bp_eps=time_batch,
+                num_active=time_batch,
+                best_cost=time_batch,
+                cutoff=time_batch,
+                overflow=time_batch,
+            ),
+        ),
+    )
 
 
-def _batched_init(ga_dev, graph: CsrGraph, cfg: FrontierConfig, batch: int):
+@functools.lru_cache(maxsize=None)
+def _build_init_fn(S: int, cfg: FrontierConfig):
+    def init(pg, start):
+        return init_closure(pg, start, S, cfg)
+
+    return jax.jit(init)
+
+
+def _batched_init(pg_dev, graph: CsrGraph, cfg: FrontierConfig, batch: int):
     """Initial frontier (start state + eps closure) broadcast over B."""
-    st, bp_init = init_closure(ga_dev, graph.start_state, graph.num_states, cfg)
+    st, bp_init = _build_init_fn(graph.num_states, cfg)(
+        pg_dev, jnp.int32(graph.start_state)
+    )
     stb = StepState(
         states=jnp.broadcast_to(st.states, (batch,) + st.states.shape),
         costs=jnp.broadcast_to(st.costs, (batch,) + st.costs.shape),
@@ -250,13 +294,20 @@ class BatchedViterbiDecoder:
         graph: CsrGraph,
         config: Optional[FrontierConfig] = None,
         pad_time_to: int = 128,
+        mesh=None,
+        data_axis: str = "data",
     ):
         self.graph = graph
         self.cfg = config if config is not None else config_for_graph(graph)
         self.cfg.validate()
         self.pad_time_to = pad_time_to
-        self._ga_dev = jax.tree.map(jnp.asarray, graph.arrays)
-        self._chunk_fn = build_chunk_fn(graph, self.cfg)
+        self.mesh = mesh
+        self._batch_multiple = mesh.devices.size if mesh is not None else 1
+        self._pg_dev = jax.tree.map(
+            jnp.asarray,
+            pack_graph(graph, self.cfg.block_width, self.cfg.eps_block_width),
+        )
+        self._chunk_fn = build_chunk_fn(graph, self.cfg, mesh, data_axis)
 
     def decode(
         self,
@@ -278,15 +329,18 @@ class BatchedViterbiDecoder:
         lengths = np.asarray(lengths, dtype=np.int32)
 
         Tp = max(_round_up(T, self.pad_time_to), self.pad_time_to)
-        if Tp != T:
-            scores_p = np.zeros((B, Tp, V), np.float32)
-            scores_p[:, :T] = scores
+        Bp = _round_up(B, self._batch_multiple)
+        if Tp != T or Bp != B:
+            scores_p = np.zeros((Bp, Tp, V), np.float32)
+            scores_p[:B, :T] = scores
+            lengths_p = np.zeros((Bp,), np.int32)
+            lengths_p[:B] = lengths
         else:
-            scores_p = scores
+            scores_p, lengths_p = scores, lengths
 
-        st0, bp_init = _batched_init(self._ga_dev, self.graph, self.cfg, B)
+        st0, bp_init = _batched_init(self._pg_dev, self.graph, self.cfg, Bp)
         stf, outs = self._chunk_fn(
-            self._ga_dev, jnp.asarray(scores_p), jnp.asarray(lengths), st0
+            self._pg_dev, jnp.asarray(scores_p), jnp.asarray(lengths_p), st0
         )
         return ViterbiResult(
             graph=self.graph,

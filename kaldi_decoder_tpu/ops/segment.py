@@ -1,28 +1,33 @@
 """Fixed-shape segmented primitives for frontier expansion and dedup.
 
-These replace the reference's pointer/hash machinery with dense array ops:
+These replace the reference's pointer/hash machinery with dense array ops
+chosen for how XLA actually lowers them on TPU:
 
-* :func:`expand` — arc-parallel expansion of a token frontier over a CSR
-  arc table.  The C++ decoders iterate ``ArcIterator`` per token
-  (`kaldi-decoder/csrc/faster-decoder.cc:196-237`), which is inherently
-  serial and ragged; here every candidate arc gets an independent lane:
-  out-degrees → exclusive scan → flat arc index space, with a vectorized
-  binary search mapping each arc lane back to its source slot.
+* :func:`map_lanes` — map ragged per-slot counts onto a flat lane budget
+  (the exclusive-scan + "which slot owns lane j" problem).  A binary
+  search per lane (``jnp.searchsorted``) costs ~46ms for 32k lanes on
+  v5e; since both the lane ids and the segment starts are sorted, a
+  scatter of slot ids at segment starts followed by a running max
+  (``associative_scan``) computes the same mapping in O(A + K) vector
+  ops.
 * :func:`dedup_select` — scatter-min dedup by destination state plus
-  top-K frontier selection.  Replaces ``HashList::Insert``'s
-  keep-the-cheaper-token collision rule (`hash-list-inl.h:128-173` as used
-  at `faster-decoder.cc:212-228`) with a sort: candidates ordered by
-  (state, cost), first-in-segment = per-state minimum, then the K cheapest
-  winners form the new frontier.  Ties prefer the earlier candidate, which
-  matches the reference's keep-existing-on-tie behavior when the incumbent
-  frontier is passed first.
+  top-K frontier selection, replacing ``HashList::Insert``'s
+  keep-the-cheaper-token rule (`hash-list-inl.h:128-173` as used at
+  `faster-decoder.cc:212-228`): candidates sorted by (state, cost), the
+  first of each state segment is its minimum, then the K cheapest
+  winners form the new frontier.  Ties prefer the earlier candidate,
+  matching the reference's keep-existing-on-tie behavior when incumbents
+  are passed first.
+* :func:`score_lookup` — acoustic-score gather ``scores[t, idx]``.  An
+  element gather from the (V,) row costs ~2.6ms for 32k lanes; a one-hot
+  matmul runs on the MXU in <1ms, so that is the default.
 
-Everything is fixed-shape and jit/vmap-friendly; no data-dependent shapes.
+Everything is fixed-shape and jit/vmap-friendly.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -30,45 +35,34 @@ import jax.numpy as jnp
 INF = jnp.inf
 
 
-class Expansion(NamedTuple):
-    src_slot: jnp.ndarray  # (A,) int32 — frontier slot each arc lane came from
-    arc_id: jnp.ndarray  # (A,) int32 — index into the CSR arc arrays
+class LaneMap(NamedTuple):
+    owner: jnp.ndarray  # (A,) int32 — slot that owns each lane
+    within: jnp.ndarray  # (A,) int32 — lane's index within the owner's segment
     valid: jnp.ndarray  # (A,) bool
-    total: jnp.ndarray  # () int32 — true number of candidate arcs (may be > A)
+    total: jnp.ndarray  # () int32 — true number of lanes needed (may be > A)
 
 
-def expand(
-    states: jnp.ndarray,  # (K,) int32 frontier states (arbitrary where invalid)
-    active: jnp.ndarray,  # (K,) bool — slots to expand
-    row_ptr: jnp.ndarray,  # (S+1,) int32 CSR row pointers
-    budget: int,  # A — static arc-lane budget
-) -> Expansion:
-    """Map K frontier slots onto ``budget`` flat arc lanes.
-
-    If the frontier's total out-degree exceeds the budget the tail lanes
-    are dropped; callers keep the frontier sorted by cost so the dropped
-    arcs belong to the worst tokens (`total` lets callers count overflows).
-    """
-    K = states.shape[0]
-    safe_states = jnp.where(active, states, 0)
-    deg = jnp.where(
-        active, row_ptr[safe_states + 1] - row_ptr[safe_states], 0
-    ).astype(jnp.int32)
-    csum = jnp.cumsum(deg)  # inclusive, (K,)
+def map_lanes(counts: jnp.ndarray, budget: int) -> LaneMap:
+    """Distribute ``counts[i]`` consecutive lanes per slot over ``budget``
+    flat lanes.  Lanes beyond the budget are dropped (callers keep slots
+    sorted by cost, so dropped lanes belong to the worst slots)."""
+    K = counts.shape[0]
+    csum = jnp.cumsum(counts)
     total = csum[-1]
+    starts = csum - counts
+    slot_ids = jnp.arange(K, dtype=jnp.int32)
+    # Scatter each non-empty slot's id at its segment start, then running
+    # max fills the segment.  Starts of non-empty slots are strictly
+    # increasing, so there are no collisions; drop-mode handles starts
+    # beyond the budget.
+    owner0 = jnp.zeros(budget, jnp.int32).at[
+        jnp.where(counts > 0, starts, budget)
+    ].max(slot_ids, mode="drop")
+    owner = jax.lax.associative_scan(jnp.maximum, owner0)
     j = jnp.arange(budget, dtype=jnp.int32)
-    # Owner slot i: csum[i-1] <= j < csum[i].
-    src_slot = jnp.searchsorted(csum, j, side="right").astype(jnp.int32)
-    src_clip = jnp.minimum(src_slot, K - 1)
-    base = csum[src_clip] - deg[src_clip]
-    arc_id = row_ptr[safe_states[src_clip]] + (j - base)
+    within = j - (csum[owner] - counts[owner])
     valid = j < total
-    return Expansion(
-        src_slot=src_clip,
-        arc_id=jnp.where(valid, arc_id, 0),
-        valid=valid,
-        total=total,
-    )
+    return LaneMap(owner=owner, within=within, valid=valid, total=total)
 
 
 class Selection(NamedTuple):
@@ -87,16 +81,10 @@ def dedup_select(
 
     The returned frontier is sorted by increasing cost (empty slots at the
     end with cost +inf); ``cand_idx`` recovers backpointer info for each
-    selected slot.  Candidates sharing a state with equal minimal cost
-    resolve to the earliest candidate (stable sort), so passing incumbent
-    tokens before fresh candidates reproduces the reference's
-    keep-existing-on-tie rule (`faster-decoder.cc:219-227`).
+    selected slot.
     """
     invalid = ~jnp.isfinite(cand_cost)
     skey = jnp.where(invalid, num_states, cand_state)
-    # Primary key: state; secondary: cost; ties: original order (lexsort is
-    # stable).  After the sort each state's cheapest candidate leads its
-    # segment.
     order = jnp.lexsort((cand_cost, skey))
     sstate = skey[order]
     scost = cand_cost[order]
@@ -105,8 +93,6 @@ def dedup_select(
     )
     leader &= sstate < num_states
     lcost = jnp.where(leader, scost, INF)
-    # K cheapest leaders. top_k on negated costs; -inf (from +inf costs)
-    # sorts last as required.
     neg, sel = jax.lax.top_k(-lcost, k)
     costs = -neg
     live = jnp.isfinite(costs)
@@ -115,3 +101,17 @@ def dedup_select(
         costs=costs,
         cand_idx=jnp.where(live, order[sel], -1).astype(jnp.int32),
     )
+
+
+def score_lookup(
+    score_idx: jnp.ndarray,  # (A,) int32 in [0, V)
+    scores_t: jnp.ndarray,  # (V,) float32 log-probs for this frame
+    use_onehot: bool = True,
+) -> jnp.ndarray:
+    """Acoustic log-prob per lane (the fused DecodableCtc lookup,
+    `decodable-ctc.cc:22-29`)."""
+    if not use_onehot:
+        return scores_t[score_idx]
+    V = scores_t.shape[0]
+    onehot = jax.nn.one_hot(score_idx, V, dtype=scores_t.dtype)
+    return onehot @ scores_t

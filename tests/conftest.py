@@ -11,11 +11,21 @@ These env vars must be set before jax is imported anywhere.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Override unconditionally: the surrounding environment pins
+# JAX_PLATFORMS=axon (the tunneled TPU) and a sitecustomize imports jax at
+# interpreter startup, so env vars set here are too late — but the backend
+# is still uninitialized, so jax.config can force the CPU platform and an
+# 8-device virtual mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
