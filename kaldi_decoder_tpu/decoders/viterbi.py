@@ -217,30 +217,49 @@ class ViterbiResult:
         is_final = use_final_probs and self.reached_final(b)
         final_state = int(self.frontier_states[b, slot])
 
-        # Arc list built back-to-front: (is_eps, arc_id, frame).
-        rev: List[Tuple[bool, int, int]] = []
+        from kaldi_decoder_tpu import native
 
-        def walk_eps(bp_block, frame):
-            nonlocal slot
-            for d in range(D - 1, -1, -1):
-                prev_slot, arc = int(bp_block[d, slot, 0]), int(bp_block[d, slot, 1])
-                if arc != NO_ARC:
-                    rev.append((True, arc, frame))
-                slot = prev_slot
-
-        for t in range(L - 1, -1, -1):
-            walk_eps(self.bp_eps[t, b], t)
-            prev_slot, arc = (
-                int(self.bp_emit[t, b, slot, 0]),
-                int(self.bp_emit[t, b, slot, 1]),
+        if native.available():
+            fwd = native.backtrace(
+                slot,
+                self.bp_init,
+                np.ascontiguousarray(self.bp_emit[:L, b]),
+                np.ascontiguousarray(self.bp_eps[:L, b]),
             )
-            if arc == NO_ARC:
-                # Dead backpointer on an active frame: search failure.
-                logger.warning("backtrace hit a dead slot at frame %d (utt %d)", t, b)
+            if fwd is None:
+                logger.warning("backtrace hit a dead slot (utt %d)", b)
                 return None
-            rev.append((False, arc, t))
-            slot = prev_slot
-        walk_eps(self.bp_init, -1)
+            rev = [(bool(e[0]), int(e[1]), int(e[2])) for e in fwd[::-1]]
+        else:
+            # Arc list built back-to-front: (is_eps, arc_id, frame).
+            rev = []
+
+            def walk_eps(bp_block, frame):
+                nonlocal slot
+                for d in range(D - 1, -1, -1):
+                    prev_slot, arc = (
+                        int(bp_block[d, slot, 0]),
+                        int(bp_block[d, slot, 1]),
+                    )
+                    if arc != NO_ARC:
+                        rev.append((True, arc, frame))
+                    slot = prev_slot
+
+            for t in range(L - 1, -1, -1):
+                walk_eps(self.bp_eps[t, b], t)
+                prev_slot, arc = (
+                    int(self.bp_emit[t, b, slot, 0]),
+                    int(self.bp_emit[t, b, slot, 1]),
+                )
+                if arc == NO_ARC:
+                    # Dead backpointer on an active frame: search failure.
+                    logger.warning(
+                        "backtrace hit a dead slot at frame %d (utt %d)", t, b
+                    )
+                    return None
+                rev.append((False, arc, t))
+                slot = prev_slot
+            walk_eps(self.bp_init, -1)
 
         out = Lattice()
         cur = out.add_state()

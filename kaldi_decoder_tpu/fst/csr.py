@@ -132,6 +132,23 @@ def compile_fst(fst: StdVectorFst) -> CsrGraph:
     )
 
 
+def load_graph(path) -> CsrGraph:
+    """OpenFst binary file -> CsrGraph, the production graph-load path.
+
+    With the native library built (csrc/kdtpu_host.cc) this parses the
+    binary and compiles the emitting/epsilon CSR entirely in C++ without
+    materializing a Python FST; otherwise it falls back to
+    ``compile_fst(read_fst(path))``.
+    """
+    from kaldi_decoder_tpu import native
+
+    if native.available():
+        return native.load_csr(str(path))
+    from kaldi_decoder_tpu.fst.io import read_fst
+
+    return compile_fst(read_fst(path))
+
+
 def _eps_depth(S: int, eps_row_ptr: np.ndarray, eps_next: np.ndarray) -> Optional[int]:
     """Longest chain length in the epsilon subgraph; None if cyclic.
 

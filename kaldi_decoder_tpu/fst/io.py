@@ -99,9 +99,22 @@ def _write_fst_body(fst: VectorFst, f) -> None:
 
 
 def read_fst(path_or_file) -> Union[StdVectorFst, Lattice]:
-    """Read an OpenFst binary VectorFst (arc type standard or lattice4)."""
+    """Read an OpenFst binary VectorFst (arc type standard or lattice4).
+
+    Uses the native C++ parser (csrc/kdtpu_host.cc) when built; falls back
+    to the pure-Python parser.
+    """
     if hasattr(path_or_file, "read"):
         return _read_fst_body(path_or_file)
+    from kaldi_decoder_tpu import native
+
+    if native.available():
+        arr = native.read_fst_arrays(str(path_or_file))
+        cls = StdVectorFst if arr["weight_dim"] == 1 else Lattice
+        return cls.from_arrays(
+            arr["row_ptr"], arr["ilabel"], arr["olabel"], arr["weight"],
+            arr["nextstate"], arr["final"], arr["start"],
+        )
     with open(path_or_file, "rb") as f:
         return _read_fst_body(f)
 

@@ -215,6 +215,43 @@ def shortest_path(fst: VectorFst) -> VectorFst:
     if S == 0 or fst.start < 0:
         return out
 
+    from kaldi_decoder_tpu import native
+
+    if native.available():
+        import numpy as np
+
+        arr = fst.to_arrays()
+        src = np.repeat(
+            np.arange(S, dtype=np.int32), np.diff(arr["row_ptr"])
+        ).astype(np.int32)
+        w = arr["weight"]
+        w_total = w if fst._weight_dim == 1 else w.sum(axis=1)
+        fin = arr["final"]
+        fin_total = fin if fst._weight_dim == 1 else fin.sum(axis=1)
+        try:
+            path = native.shortest_path_arrays(
+                S, src, w_total, arr["nextstate"], fin_total, fst.start
+            )
+        except ValueError:
+            path = False  # cyclic: fall through to the Dijkstra path below
+        if path is not False:
+            if path is None:
+                return out
+            cur = out.add_state()
+            out.set_start(cur)
+            il, ol, ns = arr["ilabel"], arr["olabel"], arr["nextstate"]
+            last = fst.start
+            for a in path:
+                nxt = out.add_state()
+                wa = w[a] if fst._weight_dim == 1 else (
+                    float(w[a][0]), float(w[a][1])
+                )
+                out.add_arc(cur, int(il[a]), int(ol[a]), wa, nxt)
+                cur = nxt
+                last = int(ns[a])
+            out.set_final(cur, fst.final(last))
+            return out
+
     order = topological_order(fst)
     dist = [INF] * S
     # Backpointer: (prev_state, ilabel, olabel, weight)
