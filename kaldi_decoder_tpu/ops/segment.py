@@ -82,24 +82,48 @@ def dedup_select(
     The returned frontier is sorted by increasing cost (empty slots at the
     end with cost +inf); ``cand_idx`` recovers backpointer info for each
     selected slot.
+
+    Implementation: two single-key sorts + a segmented-min scan.  A
+    2-key ``lexsort`` plus ``top_k`` computes the same thing but lowers to
+    much slower TPU code (measured 2-4x slower at N~50k); single-key
+    ``lax.sort`` with payloads is the fast path on TPU.
     """
+    n = cand_state.shape[0]
     invalid = ~jnp.isfinite(cand_cost)
     skey = jnp.where(invalid, num_states, cand_state)
-    order = jnp.lexsort((cand_cost, skey))
-    sstate = skey[order]
-    scost = cand_cost[order]
-    leader = jnp.concatenate(
-        [jnp.ones((1,), dtype=bool), sstate[1:] != sstate[:-1]]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # Sort by state only (stable: equal states keep candidate order).
+    s2, c2, i2 = jax.lax.sort((skey, cand_cost, idx), num_keys=1)
+    leader = jnp.concatenate([jnp.ones((1,), bool), s2[1:] != s2[:-1]])
+    # Segmented min over each equal-state run, via an inclusive scan on the
+    # reversed array so every run's *first* element ends up holding the
+    # run's min.  Ties keep the earliest candidate (matching HashList
+    # keep-existing-on-tie when incumbents are passed first,
+    # hash-list-inl.h:128-173).
+    def op(a, b):
+        fa, ca, ia = a
+        fb, cb, ib = b
+        take_b = fb | (cb <= ca)  # b = earlier original candidate
+        return (
+            fa | fb,
+            jnp.where(take_b, cb, ca),
+            jnp.where(take_b, ib, ia),
+        )
+
+    last = jnp.concatenate([(s2[:-1] != s2[1:]), jnp.ones((1,), bool)])
+    _, cmin_r, imin_r = jax.lax.associative_scan(
+        op, (last[::-1], c2[::-1], i2[::-1])
     )
-    leader &= sstate < num_states
-    lcost = jnp.where(leader, scost, INF)
-    neg, sel = jax.lax.top_k(-lcost, k)
-    costs = -neg
+    cmin, imin = cmin_r[::-1], imin_r[::-1]
+    lcost = jnp.where(leader & (s2 < num_states), cmin, INF)
+    # Sort run leaders by cost; first K are the new frontier.
+    c3, s3, i3 = jax.lax.sort((lcost, s2, imin), num_keys=1)
+    costs = c3[:k]
     live = jnp.isfinite(costs)
     return Selection(
-        states=jnp.where(live, sstate[sel], 0).astype(jnp.int32),
+        states=jnp.where(live, s3[:k], 0).astype(jnp.int32),
         costs=costs,
-        cand_idx=jnp.where(live, order[sel], -1).astype(jnp.int32),
+        cand_idx=jnp.where(live, i3[:k], -1).astype(jnp.int32),
     )
 
 
