@@ -1,3 +1,8 @@
+from kaldi_decoder_tpu.parallel.graph_shard import (
+    ShardedGraph,
+    ShardedViterbiDecoder,
+    shard_graph,
+)
 from kaldi_decoder_tpu.parallel.mesh import (
     batch_sharding,
     initialize_distributed,
@@ -7,9 +12,12 @@ from kaldi_decoder_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "ShardedGraph",
+    "ShardedViterbiDecoder",
     "batch_sharding",
     "initialize_distributed",
     "make_mesh",
     "pad_batch",
     "replicated",
+    "shard_graph",
 ]
