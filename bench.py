@@ -26,14 +26,18 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
+import os
+
 SEED = 0
 V = 500
 S = 200_000
 E_EM = 1_000_000
 E_EPS = 100_000
-B = 8
-T = 1000
-CHUNK_FRAMES = 200  # frames per compiled device chunk (streaming shape)
+B = int(os.environ.get("KDTPU_BENCH_B", "8"))
+T = int(os.environ.get("KDTPU_BENCH_T", "1000"))
+CHUNK_FRAMES = int(
+    os.environ.get("KDTPU_BENCH_CHUNK", "200")
+)  # frames per compiled device chunk (streaming shape)
 FRAME_SECONDS = 0.04  # conformer subsampling-4 frame rate
 BEAM = 15.0
 MAX_ACTIVE = 4000

@@ -42,7 +42,7 @@ from kaldi_decoder_tpu.decoders.frontier import (
 from kaldi_decoder_tpu.fst.csr import CsrGraph
 from kaldi_decoder_tpu.fst.pack import PackedGraph
 from kaldi_decoder_tpu.ops.cutoff import get_cutoff
-from kaldi_decoder_tpu.ops.segment import dedup_select
+from kaldi_decoder_tpu.ops.segment import dedup_select, dedup_select_rec
 
 INF = jnp.inf
 
@@ -76,15 +76,19 @@ def compact_records(
 ):
     """Pack valid records to the front of an (r, 2) buffer; -1 padded.
 
-    Stable, so records keep candidate order.  Returns (records, overflowed).
+    Stable (records keep candidate order).  Returns (records, overflowed).
+    Implemented as one ``top_k`` over a strictly-decreasing key for valid
+    lanes — measurably cheaper on TPU than the equivalent argsort.
     """
-    order = jnp.argsort(~valid)  # False (valid) sorts first; stable
-    take = order[:r]
-    ok = valid[take]
+    n = valid.shape[0]
+    key = jnp.where(valid, n - jnp.arange(n, dtype=jnp.int32), 0)
+    vals, take = jax.lax.top_k(key, r)
+    ok = vals > 0
+    safe = jnp.where(ok, take, 0)
     rec = jnp.stack(
         [
-            jnp.where(ok, src_state[take], -1),
-            jnp.where(ok, arc_id[take], -1),
+            jnp.where(ok, src_state[safe], -1),
+            jnp.where(ok, arc_id[safe], -1),
         ],
         axis=-1,
     ).astype(jnp.int32)
@@ -189,11 +193,19 @@ def lattice_frame_step(
     nvalid = jnp.isfinite(cand.cost) & (cand.cost < next_cutoff)
     ncost = jnp.where(nvalid, cand.cost, INF)
 
-    em_rec, em_rec_ovf = compact_records(
-        st.states[cand.src_slot], cand.arc_id, nvalid, cfg.em_records
-    )
-
-    sel = dedup_select(cand.dst, ncost, K, num_states)
+    # Record compaction rides the dedup's state-sort (invalid candidates
+    # sort to the end), so the ForwardLink records cost no extra sort.
+    sel = dedup_select_rec(cand.dst, ncost, K, num_states, cfg.em_records)
+    ok_r = sel.rec_idx >= 0
+    safe_r = jnp.where(ok_r, sel.rec_idx, 0)
+    em_rec = jnp.stack(
+        [
+            jnp.where(ok_r, st.states[cand.src_slot[safe_r]], -1),
+            jnp.where(ok_r, cand.arc_id[safe_r], -1),
+        ],
+        axis=-1,
+    ).astype(jnp.int32)
+    em_rec_ovf = sel.rec_overflow
     mid = StepState(sel.states, sel.costs, st.base)
     mid, eps_recs, eps_ovf = eps_closure_rec(
         mid, next_cutoff, pg, fc, num_states, cfg.eps_records
