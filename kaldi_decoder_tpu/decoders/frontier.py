@@ -191,12 +191,14 @@ def expand_emitting(
     K, W = cfg.frontier_size, cfg.block_width
     R = cfg.rem_budget
     safe = jnp.where(active, st.states, 0)
-    row_lo = pg.em_row_ptr[safe]
-    deg = jnp.where(active, pg.em_row_ptr[safe + 1] - row_lo, 0)
 
-    # Block lanes: one row gather of (K, W*5) -> every field of the first
-    # W arcs of every frontier state.
-    blk = pg.em_block[safe].reshape(K, W, EM_FIELDS)
+    # Block lanes: ONE row gather of (K, W*5+2) -> every field of the first
+    # W arcs of every frontier state, plus its [row_lo, deg] header (saves
+    # two separate row_ptr element gathers).
+    row = pg.em_block[safe]
+    row_lo = row[:, W * EM_FIELDS]
+    deg = jnp.where(active, row[:, W * EM_FIELDS + 1], 0)
+    blk = row[:, : W * EM_FIELDS].reshape(K, W, EM_FIELDS)
     w_arc = _bitcast_f32(blk[..., 0])  # +inf on padding lanes
     nxt = blk[..., 1]
     sidx = blk[..., 2]
@@ -242,10 +244,11 @@ def expand_eps(
     K, W = cfg.frontier_size, cfg.eps_block_width
     R = cfg.eps_rem_budget
     safe = jnp.where(active, st.states, 0)
-    row_lo = pg.eps_row_ptr[safe]
-    deg = jnp.where(active, pg.eps_row_ptr[safe + 1] - row_lo, 0)
 
-    blk = pg.eps_block[safe].reshape(K, W, EPS_FIELDS)
+    row = pg.eps_block[safe]
+    row_lo = row[:, W * EPS_FIELDS]
+    deg = jnp.where(active, row[:, W * EPS_FIELDS + 1], 0)
+    blk = row[:, : W * EPS_FIELDS].reshape(K, W, EPS_FIELDS)
     w_arc = _bitcast_f32(blk[..., 0])
     nxt = blk[..., 1]
     lane_w = jnp.arange(W, dtype=jnp.int32)

@@ -9,13 +9,16 @@ gathering K single elements.
 So the per-arc fields (weight, nextstate, score_idx, olabel, ilabel) are
 bit-packed into int32 rows:
 
-* ``em_block (S, W*5)`` — each state's first W emitting arcs, one row per
-  state: the frontier's block expansion is ONE row gather.
+* ``em_block (S, W*5 + 2)`` — each state's first W emitting arcs plus a
+  trailing ``[row_lo, deg]`` header, one row per state: the frontier's
+  block expansion is ONE row gather (the header rides along for free —
+  row-gather cost is per *row*, not per byte — and eliminates the two
+  separate ``row_ptr`` element gathers per expansion).
 * ``em_flat (E, 5)`` — all emitting arcs, for the remainder path (arcs
   beyond W of fat states) and as the arc-id-indexed table; row gather per
   remainder lane.
-* analogous ``eps_block (S, We*4)`` / ``eps_flat (E_eps, 4)`` with fields
-  (weight, nextstate, olabel, pad).
+* analogous ``eps_block (S, We*4 + 2)`` / ``eps_flat (E_eps, 4)`` with
+  fields (weight, nextstate, olabel, pad).
 
 Weights are float32 bit-cast into the int32 word (lossless);
 ``jax.lax.bitcast_convert_type`` recovers them on device.  Arc order in
@@ -41,10 +44,10 @@ class PackedGraph(NamedTuple):
     """Device pytree of packed graph tables."""
 
     em_row_ptr: object  # (S+1,) int32
-    em_block: object  # (S, W_em * 5) int32
+    em_block: object  # (S, W_em * 5 + 2) int32 — arcs + [row_lo, deg]
     em_flat: object  # (E_em, 5) int32
     eps_row_ptr: object  # (S+1,) int32
-    eps_block: object  # (S, W_eps * 4) int32
+    eps_block: object  # (S, W_eps * 4 + 2) int32 — arcs + [row_lo, deg]
     eps_flat: object  # (E_eps, 4) int32
     final_cost: object  # (S,) float32
 
@@ -76,6 +79,9 @@ def pack_graph(graph: CsrGraph, w_em: int, w_eps: int) -> PackedGraph:
     w_idx = np.arange(int(take.sum())) - np.repeat(np.cumsum(take) - take, take)
     arc_idx = ga.em_row_ptr[:-1].astype(np.int64).repeat(take) + w_idx
     em_block[s_idx, w_idx] = em_flat[arc_idx]
+    em_hdr = np.stack(
+        [ga.em_row_ptr[:-1].astype(np.int32), deg.astype(np.int32)], axis=1
+    )
 
     eps_w_bits = (
         np.ascontiguousarray(ga.eps_weight).view(np.int32)
@@ -93,8 +99,8 @@ def pack_graph(graph: CsrGraph, w_em: int, w_eps: int) -> PackedGraph:
     eps_block = np.empty((S, w_eps, EPS_FIELDS), np.int32)
     eps_block[..., 0] = INF_BITS
     eps_block[..., 1:] = 0
+    edeg = np.diff(ga.eps_row_ptr)
     if Ee:
-        edeg = np.diff(ga.eps_row_ptr)
         etake = np.minimum(edeg, w_eps)
         s_idx = np.repeat(np.arange(S), etake)
         w_idx = np.arange(int(etake.sum())) - np.repeat(
@@ -102,13 +108,20 @@ def pack_graph(graph: CsrGraph, w_em: int, w_eps: int) -> PackedGraph:
         )
         arc_idx = ga.eps_row_ptr[:-1].astype(np.int64).repeat(etake) + w_idx
         eps_block[s_idx, w_idx] = eps_flat[arc_idx]
+    eps_hdr = np.stack(
+        [ga.eps_row_ptr[:-1].astype(np.int32), edeg.astype(np.int32)], axis=1
+    )
 
     return PackedGraph(
         em_row_ptr=ga.em_row_ptr,
-        em_block=em_block.reshape(S, w_em * EM_FIELDS),
+        em_block=np.concatenate(
+            [em_block.reshape(S, w_em * EM_FIELDS), em_hdr], axis=1
+        ),
         em_flat=em_flat,
         eps_row_ptr=ga.eps_row_ptr,
-        eps_block=eps_block.reshape(S, w_eps * EPS_FIELDS),
+        eps_block=np.concatenate(
+            [eps_block.reshape(S, w_eps * EPS_FIELDS), eps_hdr], axis=1
+        ),
         eps_flat=eps_flat,
         final_cost=ga.final_cost,
     )
