@@ -121,22 +121,32 @@ def config_for_graph(graph: CsrGraph, base: Optional[FrontierConfig] = None, **k
     K = max(8, min(K, _next_pow2(max(graph.num_states, 2))))
     kw["frontier_size"] = K
 
+    # Row-gather cost is per row (width-free up to ~128 ints), but every
+    # block lane costs sort/score work downstream: total lanes K*W + R are
+    # minimized at W ~ median out-degree, with the remainder path (exact,
+    # lane-mapped) absorbing the tail.  Overflow of R is flagged, never
+    # silent.
     deg = np.diff(graph.arrays.em_row_ptr)
     nz = deg[deg > 0]
-    p95 = int(np.quantile(nz, 0.95)) if len(nz) else 1
-    W = kw.get("block_width", max(1, min(p95, 16, graph.max_em_out_degree or 1)))
+    p50 = int(np.quantile(nz, 0.5)) if len(nz) else 1
+    W = kw.get("block_width", max(1, min(p50, 16, graph.max_em_out_degree or 1)))
     kw["block_width"] = max(1, W)
 
-    rem = kw.get("rem_budget", min(max(1024, K), max(graph.num_emitting_arcs, 8)))
-    kw["rem_budget"] = max(8, rem)
+    if "rem_budget" not in kw:
+        # Expected remainder lanes if the whole frontier were live, plus
+        # slack; bounded below so skewed graphs stay safe.
+        exp_rem = float(np.maximum(deg[deg > 0] - W, 0).mean()) if len(nz) else 0
+        rem = int(max(1024, min(4 * K, 2 * exp_rem * K + 1024)))
+        kw["rem_budget"] = min(rem, max(graph.num_emitting_arcs, 8))
+    kw["rem_budget"] = max(8, kw["rem_budget"])
 
     if graph.num_eps_arcs:
         edeg = np.diff(graph.arrays.eps_row_ptr)
         enz = edeg[edeg > 0]
-        ep95 = int(np.quantile(enz, 0.95)) if len(enz) else 1
+        ep50 = int(np.quantile(enz, 0.5)) if len(enz) else 1
         We = kw.get(
             "eps_block_width",
-            max(1, min(ep95, 8, graph.max_eps_out_degree or 1)),
+            max(1, min(ep50, 8, graph.max_eps_out_degree or 1)),
         )
         kw["eps_block_width"] = max(1, We)
         kw["eps_rem_budget"] = max(
@@ -372,6 +382,55 @@ def eps_closure(
     return st, bps, ovf
 
 
+def eps_closure_batched(
+    st: StepState,  # batched: (B, K) slot arrays
+    cutoff_rel: jnp.ndarray,  # (B,)
+    row_active: jnp.ndarray,  # (B,) bool — frames past length don't gate exit
+    pg: PackedGraph,
+    cfg: FrontierConfig,
+    num_states: int,
+) -> Tuple[StepState, jnp.ndarray, jnp.ndarray]:
+    """Whole-batch epsilon closure with a *real* early exit.
+
+    The per-utterance ``eps_closure`` runs all ``eps_iters`` iterations
+    under ``vmap`` (the early-out only masks results).  At batch level a
+    ``lax.while_loop`` stops as soon as no active utterance improved —
+    on typical graphs most frames converge after one iteration, halving
+    the epsilon cost (the reference's worklist just empties,
+    `faster-decoder.cc:59-119`).
+
+    Returns (state, bp (D, B, K, 2) identity-padded, overflow (B,)).
+    """
+    K, D = cfg.frontier_size, cfg.eps_iters
+    B = st.states.shape[0]
+    ident = jnp.broadcast_to(_identity_bp(K), (B, K, 2))
+    if D == 0:
+        return st, jnp.zeros((0, B, K, 2), jnp.int32), jnp.zeros((B,), bool)
+    bps0 = jnp.broadcast_to(ident[None], (D, B, K, 2)).astype(jnp.int32)
+
+    def cond(carry):
+        it, _, go, _, _ = carry
+        return (it < D) & go
+
+    def body(carry):
+        it, cur, _, ovf, bps = carry
+        nxt, bp, changed, o = jax.vmap(
+            lambda s, c: eps_iteration(s, c, pg, cfg, num_states)
+        )(cur, cutoff_rel)
+        bps = jax.lax.dynamic_update_slice(
+            bps, bp[None].astype(jnp.int32), (it, 0, 0, 0)
+        )
+        go = jnp.any(changed & row_active)
+        return it + 1, nxt, go, ovf | (o & row_active), bps
+
+    _, stf, _, ovf, bps = jax.lax.while_loop(
+        cond,
+        body,
+        (jnp.int32(0), st, jnp.bool_(True), jnp.zeros((B,), bool), bps0),
+    )
+    return stf, bps, ovf
+
+
 def init_closure(
     pg: PackedGraph, start, num_states: int, cfg: FrontierConfig
 ) -> Tuple[StepState, jnp.ndarray]:
@@ -381,17 +440,18 @@ def init_closure(
     return st, bp
 
 
-def frame_step(
+def frame_emit_stage(
     st: StepState,
-    scores_t: jnp.ndarray,  # (V,) float32 log-probs for this frame
-    frame_active,  # () bool — False once past this utterance's length
+    scores_t: jnp.ndarray,  # (V,)
     pg: PackedGraph,
     cfg: FrontierConfig,
     num_states: int,
-) -> Tuple[StepState, StepOut]:
-    """Process one frame: emitting expansion + epsilon closure + rebase."""
-    K = cfg.frontier_size
+):
+    """Per-utterance emitting stage: cutoff, expansion, dedup, bp.
 
+    Returns (mid_state, bp_emit, next_cutoff_rel, cutoff_abs, overflow).
+    """
+    K = cfg.frontier_size
     cut = get_cutoff(
         st.costs,
         cfg.beam,
@@ -417,23 +477,44 @@ def frame_step(
         ],
         axis=-1,
     ).astype(jnp.int32)
-
     mid = StepState(sel.states, sel.costs, st.base)
+    return mid, bp_emit, next_cutoff, st.base + cut.cutoff, cand.overflow
+
+
+def _frame_finish(st, mid, frame_active, cfg: FrontierConfig):
+    """Per-utterance rebase + frame_active freeze. Returns (state, m_safe)."""
+    m = mid.costs[0]
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    out_state = StepState(mid.states, mid.costs - m_safe, mid.base + m_safe)
+    final_state = jax.tree.map(
+        lambda new, old: jnp.where(frame_active, new, old), out_state, st
+    )
+    return final_state, m_safe
+
+
+def frame_step(
+    st: StepState,
+    scores_t: jnp.ndarray,  # (V,) float32 log-probs for this frame
+    frame_active,  # () bool — False once past this utterance's length
+    pg: PackedGraph,
+    cfg: FrontierConfig,
+    num_states: int,
+) -> Tuple[StepState, StepOut]:
+    """Process one frame: emitting expansion + epsilon closure + rebase."""
+    K = cfg.frontier_size
+
+    mid, bp_emit, next_cutoff, cutoff_abs, em_ovf = frame_emit_stage(
+        st, scores_t, pg, cfg, num_states
+    )
     # Epsilon closure under the emitting-stage cutoff
     # (ProcessNonemitting(weight_cutoff), faster-decoder.cc:149-151).
     mid, bp_eps, eps_ovf = eps_closure(mid, next_cutoff, pg, cfg, num_states)
 
-    # Rebase relative costs so float32 never accumulates frame costs.
-    m = mid.costs[0]
-    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
-    out_state = StepState(mid.states, mid.costs - m_safe, mid.base + m_safe)
+    final_state, m_safe = _frame_finish(st, mid, frame_active, cfg)
 
     # Inactive frames (t >= length) freeze the frontier with identity bps.
     ident = _identity_bp(K)
     ident_eps = jnp.broadcast_to(ident, (cfg.eps_iters, K, 2))
-    final_state = jax.tree.map(
-        lambda new, old: jnp.where(frame_active, new, old), out_state, st
-    )
     out = StepOut(
         bp_emit=jnp.where(frame_active, bp_emit, ident),
         bp_eps=jnp.where(frame_active, bp_eps, ident_eps),
@@ -447,7 +528,58 @@ def frame_step(
             mid.base + m_safe,
             st.base + jnp.where(jnp.isfinite(st.costs[0]), st.costs[0], 0.0),
         ),
-        cutoff=st.base + cut.cutoff,
-        overflow=frame_active & (cand.overflow | eps_ovf),
+        cutoff=cutoff_abs,
+        overflow=frame_active & (em_ovf | eps_ovf),
+    )
+    return final_state, out
+
+
+def frame_step_batched(
+    st: StepState,  # (B, K) slot arrays
+    scores_t: jnp.ndarray,  # (B, V)
+    frame_active: jnp.ndarray,  # (B,) bool
+    pg: PackedGraph,
+    cfg: FrontierConfig,
+    num_states: int,
+) -> Tuple[StepState, StepOut]:
+    """Whole-batch frame step: vmapped emit stage + batch-level epsilon
+    closure whose ``while_loop`` genuinely stops once every utterance
+    converged (see :func:`eps_closure_batched`)."""
+    K = cfg.frontier_size
+    B = st.states.shape[0]
+
+    mid, bp_emit, next_cutoff, cutoff_abs, em_ovf = jax.vmap(
+        lambda s, sc: frame_emit_stage(s, sc, pg, cfg, num_states)
+    )(st, scores_t)
+    mid, bps, eps_ovf = eps_closure_batched(
+        mid, next_cutoff, frame_active, pg, cfg, num_states
+    )
+    bp_eps = jnp.moveaxis(bps, 0, 1)  # (B, D, K, 2)
+
+    final_state, m_safe = jax.vmap(
+        lambda s, m, a: _frame_finish(s, m, a, cfg)
+    )(st, mid, frame_active)
+
+    ident = jnp.broadcast_to(_identity_bp(K), (B, K, 2))
+    ident_eps = jnp.broadcast_to(
+        _identity_bp(K)[None, None], (B, cfg.eps_iters, K, 2)
+    )
+    fa = frame_active
+    out = StepOut(
+        bp_emit=jnp.where(fa[:, None, None], bp_emit, ident),
+        bp_eps=jnp.where(fa[:, None, None, None], bp_eps, ident_eps),
+        num_active=jnp.where(
+            fa,
+            jnp.sum(jnp.isfinite(mid.costs), axis=1),
+            jnp.sum(jnp.isfinite(st.costs), axis=1),
+        ).astype(jnp.int32),
+        best_cost=jnp.where(
+            fa,
+            mid.base + m_safe,
+            st.base
+            + jnp.where(jnp.isfinite(st.costs[:, 0]), st.costs[:, 0], 0.0),
+        ),
+        cutoff=cutoff_abs,
+        overflow=fa & (em_ovf | eps_ovf),
     )
     return final_state, out

@@ -168,19 +168,16 @@ def eps_closure_rec(
     return st, recs, ovf
 
 
-def lattice_frame_step(
+def lattice_emit_stage(
     st: StepState,
     scores_t: jnp.ndarray,
-    frame_active,
     pg: PackedGraph,
-    cfg: LatticeDevConfig,
+    fc: FrontierConfig,
     num_states: int,
-) -> Tuple[StepState, LatticeStepOut]:
-    """One lattice frame: emitting expansion with record emission, then
-    record-emitting epsilon closure, then rebase."""
-    fc = cfg.frontier
+    r_em: int,
+):
+    """Per-utterance lattice emitting stage with record emission."""
     K = fc.frontier_size
-
     cut = get_cutoff(
         st.costs, fc.beam, fc.max_active, fc.min_active, fc.beam_delta,
         costs_sorted=True,
@@ -195,7 +192,7 @@ def lattice_frame_step(
 
     # Record compaction rides the dedup's state-sort (invalid candidates
     # sort to the end), so the ForwardLink records cost no extra sort.
-    sel = dedup_select_rec(cand.dst, ncost, K, num_states, cfg.em_records)
+    sel = dedup_select_rec(cand.dst, ncost, K, num_states, r_em)
     ok_r = sel.rec_idx >= 0
     safe_r = jnp.where(ok_r, sel.rec_idx, 0)
     em_rec = jnp.stack(
@@ -205,8 +202,70 @@ def lattice_frame_step(
         ],
         axis=-1,
     ).astype(jnp.int32)
-    em_rec_ovf = sel.rec_overflow
     mid = StepState(sel.states, sel.costs, st.base)
+    ovf = cand.overflow | sel.rec_overflow
+    return mid, em_rec, next_cutoff, st.base + cut.cutoff, ovf
+
+
+def eps_closure_rec_batched(
+    st: StepState,  # batched (B, K)
+    cutoff_rel: jnp.ndarray,  # (B,)
+    row_active: jnp.ndarray,  # (B,) bool
+    pg: PackedGraph,
+    fc: FrontierConfig,
+    num_states: int,
+    r_eps: int,
+):
+    """Batch-level record-emitting eps closure with real early exit
+    (see frontier.eps_closure_batched). Returns recs (D, B, R, 2)."""
+    D = fc.eps_iters
+    B = st.states.shape[0]
+    if D == 0:
+        return (
+            st,
+            jnp.full((0, B, r_eps, 2), -1, jnp.int32),
+            jnp.zeros((B,), bool),
+        )
+    recs0 = jnp.full((D, B, r_eps, 2), -1, jnp.int32)
+
+    def cond(carry):
+        it, _, go, _, _ = carry
+        return (it < D) & go
+
+    def body(carry):
+        it, cur, _, ovf, recs = carry
+        nxt, rec, changed, o = jax.vmap(
+            lambda s, c: eps_iteration_rec(s, c, pg, fc, num_states, r_eps)
+        )(cur, cutoff_rel)
+        recs = jax.lax.dynamic_update_slice(
+            recs, rec[None].astype(jnp.int32), (it, 0, 0, 0)
+        )
+        go = jnp.any(changed & row_active)
+        return it + 1, nxt, go, ovf | (o & row_active), recs
+
+    _, stf, _, ovf, recs = jax.lax.while_loop(
+        cond,
+        body,
+        (jnp.int32(0), st, jnp.bool_(True), jnp.zeros((B,), bool), recs0),
+    )
+    return stf, recs, ovf
+
+
+def lattice_frame_step(
+    st: StepState,
+    scores_t: jnp.ndarray,
+    frame_active,
+    pg: PackedGraph,
+    cfg: LatticeDevConfig,
+    num_states: int,
+) -> Tuple[StepState, LatticeStepOut]:
+    """One lattice frame: emitting expansion with record emission, then
+    record-emitting epsilon closure, then rebase."""
+    fc = cfg.frontier
+
+    mid, em_rec, next_cutoff, cutoff_abs, em_ovf = lattice_emit_stage(
+        st, scores_t, pg, fc, num_states, cfg.em_records
+    )
     mid, eps_recs, eps_ovf = eps_closure_rec(
         mid, next_cutoff, pg, fc, num_states, cfg.eps_records
     )
@@ -227,8 +286,61 @@ def lattice_frame_step(
         frontier_costs=final_state.base + final_state.costs,
         num_active=jnp.sum(jnp.isfinite(final_state.costs)).astype(jnp.int32),
         best_cost=final_state.base,
-        cutoff=st.base + cut.cutoff,
-        overflow=frame_active & (cand.overflow | em_rec_ovf | eps_ovf),
+        cutoff=cutoff_abs,
+        overflow=frame_active & (em_ovf | eps_ovf),
+    )
+    return final_state, out
+
+
+def lattice_frame_step_batched(
+    st: StepState,  # (B, K)
+    scores_t: jnp.ndarray,  # (B, V)
+    frame_active: jnp.ndarray,  # (B,)
+    pg: PackedGraph,
+    cfg: LatticeDevConfig,
+    num_states: int,
+) -> Tuple[StepState, LatticeStepOut]:
+    """Whole-batch lattice frame: vmapped emit stage + batch-level
+    record-emitting eps closure with real early exit."""
+    fc = cfg.frontier
+    B = st.states.shape[0]
+
+    mid, em_rec, next_cutoff, cutoff_abs, em_ovf = jax.vmap(
+        lambda s, sc: lattice_emit_stage(
+            s, sc, pg, fc, num_states, cfg.em_records
+        )
+    )(st, scores_t)
+    mid, recs, eps_ovf = eps_closure_rec_batched(
+        mid, next_cutoff, frame_active, pg, fc, num_states, cfg.eps_records
+    )
+    eps_recs = jnp.moveaxis(recs, 0, 1)  # (B, D, R, 2)
+
+    m = mid.costs[:, 0]
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    out_state = StepState(
+        mid.states, mid.costs - m_safe[:, None], mid.base + m_safe
+    )
+    fa = frame_active
+    final_state = jax.tree.map(
+        lambda new, old: jnp.where(
+            fa.reshape((B,) + (1,) * (new.ndim - 1)), new, old
+        ),
+        out_state,
+        st,
+    )
+    empty_em = jnp.full((B, cfg.em_records, 2), -1, jnp.int32)
+    empty_eps = jnp.full((B, fc.eps_iters, cfg.eps_records, 2), -1, jnp.int32)
+    out = LatticeStepOut(
+        em_records=jnp.where(fa[:, None, None], em_rec, empty_em),
+        eps_records=jnp.where(fa[:, None, None, None], eps_recs, empty_eps),
+        frontier_states=final_state.states,
+        frontier_costs=final_state.base[:, None] + final_state.costs,
+        num_active=jnp.sum(jnp.isfinite(final_state.costs), axis=1).astype(
+            jnp.int32
+        ),
+        best_cost=final_state.base,
+        cutoff=cutoff_abs,
+        overflow=fa & (em_ovf | eps_ovf),
     )
     return final_state, out
 
@@ -262,18 +374,13 @@ def _build_lattice_chunk_fn_cached(
     S: int, cfg: LatticeDevConfig, mesh, data_axis: str
 ):
     # Cached on static info only (see viterbi._build_chunk_fn_cached).
-    step = functools.partial(lattice_frame_step, cfg=cfg, num_states=S)
-
     def chunk(pg, scores, lengths, st0: StepState):
         scores_tm = jnp.moveaxis(scores, 1, 0)
 
         def body(st, inp):
             scores_t, t = inp
             active = t < lengths
-            new_st, out = jax.vmap(lambda s, sc, a: step(s, sc, a, pg))(
-                st, scores_t, active
-            )
-            return new_st, out
+            return lattice_frame_step_batched(st, scores_t, active, pg, cfg, S)
 
         ts = jnp.arange(scores_tm.shape[0], dtype=jnp.int32)
         stf, outs = jax.lax.scan(body, st0, (scores_tm, ts))

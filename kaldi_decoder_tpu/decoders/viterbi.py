@@ -72,7 +72,7 @@ def _build_chunk_fn_cached(S: int, cfg: FrontierConfig, mesh, data_axis: str):
     # Cached on static info only — the graph's arrays are runtime args, so
     # one compiled executable serves every decoder instance with the same
     # state count, config and array shapes (jit re-specializes on shapes).
-    step = functools.partial(frame_step, cfg=cfg, num_states=S)
+    from kaldi_decoder_tpu.decoders.frontier import frame_step_batched
 
     def chunk(pg, scores, lengths, st0: StepState):
         scores_tm = jnp.moveaxis(scores, 1, 0)  # (T, B, V)
@@ -81,10 +81,7 @@ def _build_chunk_fn_cached(S: int, cfg: FrontierConfig, mesh, data_axis: str):
         def body(st, inp):
             scores_t, t = inp
             active = t < lengths
-            new_st, out = jax.vmap(
-                lambda s, sc, a: step(s, sc, a, pg)
-            )(st, scores_t, active)
-            return new_st, out
+            return frame_step_batched(st, scores_t, active, pg, cfg, S)
 
         ts = jnp.arange(T, dtype=jnp.int32)
         stf, outs = jax.lax.scan(body, st0, (scores_tm, ts))
