@@ -156,6 +156,7 @@ class LatticeResult:
     num_active: np.ndarray  # (T, B)
     cutoffs: np.ndarray  # (T, B)
     overflows: np.ndarray  # (T, B)
+    fold: object = None  # Optional[FoldedGraph] — records carry folded ids
 
     def __post_init__(self):
         self._pruned: dict = {}
@@ -174,12 +175,29 @@ class LatticeResult:
             frame_costs = np.concatenate(
                 [self.init_costs[None], self.frame_costs[:L, b]], axis=0
             )
+            if self.fold is not None:
+                # Expand folded arc records back to original-graph em/eps
+                # records (fst/fold.py); init links come from the host
+                # start closure.
+                em_list, eps_list = [], []
+                for t in range(L):
+                    em, eps = self.fold.expand_em_records(
+                        self.em_records[t, b]
+                    )
+                    em_list.append(em)
+                    eps_list.append(eps)
+                init_eps = self.fold.start.eps_records
+                em_records, eps_records = em_list, eps_list
+            else:
+                init_eps = self.init_eps_records
+                em_records = self.em_records[:L, b]
+                eps_records = self.eps_records[:L, b]
             self._pruned[key] = prune_lattice(
                 frame_states=frame_states,
                 frame_costs=frame_costs,
-                init_eps_records=self.init_eps_records,
-                em_records=self.em_records[:L, b],
-                eps_records=self.eps_records[:L, b],
+                init_eps_records=init_eps,
+                em_records=em_records,
+                eps_records=eps_records,
                 scores=self.scores[b, :L],
                 graph=self.graph,
                 lattice_beam=self.lattice_beam,
@@ -238,12 +256,21 @@ class BatchedLatticeDecoder:
         pad_time_to: int = 128,
         mesh=None,
         data_axis: str = "data",
+        fold: bool = True,
     ):
+        from kaldi_decoder_tpu.decoders.viterbi import (
+            _cfg_for_device_graph,
+            _maybe_fold,
+        )
+
         self.graph = _as_graph(graph)
-        fc = frontier if frontier is not None else config_for_graph(self.graph)
+        self.fold = _maybe_fold(self.graph, fold)
+        dev_graph = self.fold.device if self.fold is not None else self.graph
+        self._dev_graph = dev_graph
+        fc = _cfg_for_device_graph(dev_graph, frontier)
         fc.validate()
         self.cfg = lattice_config_for_graph(
-            self.graph, fc, em_records=em_records, eps_records=eps_records
+            dev_graph, fc, em_records=em_records, eps_records=eps_records
         )
         self.lattice_beam = float(lattice_beam)
         self.pad_time_to = pad_time_to
@@ -254,11 +281,23 @@ class BatchedLatticeDecoder:
         fc2 = self.cfg.frontier
         self._pg_dev = jax.tree.map(
             jnp.asarray,
-            pack_graph(self.graph, fc2.block_width, fc2.eps_block_width),
+            pack_graph(dev_graph, fc2.block_width, fc2.eps_block_width),
         )
-        self._chunk_fn = build_lattice_chunk_fn(self.graph, self.cfg, mesh, data_axis)
+        self._chunk_fn = build_lattice_chunk_fn(dev_graph, self.cfg, mesh, data_axis)
 
     def _init(self, batch: int):
+        if self.fold is not None:
+            from kaldi_decoder_tpu.decoders.viterbi import _folded_init
+
+            stb, _ = _folded_init(self.fold, self.cfg.frontier, batch)
+            D = self.cfg.frontier.eps_iters
+            recs = np.full((D, self.cfg.eps_records, 2), -1, np.int32)
+            return (
+                stb,
+                np.asarray(stb.states[0]),
+                np.asarray(stb.costs[0]),
+                recs,
+            )
         st, recs = init_closure_rec(
             self._pg_dev, self.graph.start_state, self.graph.num_states, self.cfg
         )
@@ -315,6 +354,7 @@ class BatchedLatticeDecoder:
             num_active=np.asarray(outs.num_active),
             cutoffs=np.asarray(outs.cutoff),
             overflows=np.asarray(outs.overflow),
+            fold=self.fold,
         )
 
 

@@ -132,6 +132,53 @@ def _batched_init(pg_dev, graph: CsrGraph, cfg: FrontierConfig, batch: int):
     return stb, np.asarray(bp_init)
 
 
+def _maybe_fold(graph: CsrGraph, fold: bool):
+    """Eps precomposition when beneficial (acyclic, nonneg, bounded)."""
+    if not fold or not graph.has_eps:
+        return None
+    from kaldi_decoder_tpu.fst.fold import fold_eps
+
+    return fold_eps(graph)
+
+
+def _cfg_for_device_graph(dev_graph: CsrGraph, config: Optional[FrontierConfig]):
+    """Config sized for the (possibly folded) device graph, keeping the
+    caller's reference-semantic fields."""
+    if config is None:
+        return config_for_graph(dev_graph)
+    if not dev_graph.has_eps and config.eps_iters == 0:
+        # Capacities may have been derived for this graph already.
+        pass
+    return config_for_graph(
+        dev_graph,
+        beam=config.beam,
+        max_active=config.max_active,
+        min_active=config.min_active,
+        beam_delta=config.beam_delta,
+        frontier_size=config.frontier_size,
+        score_onehot=config.score_onehot,
+    )
+
+
+def _folded_init(fold, cfg: FrontierConfig, batch: int):
+    """Initial frontier from the host-computed start closure."""
+    K = cfg.frontier_size
+    sc = fold.start
+    n = min(len(sc.states), K)
+    order = np.argsort(sc.costs, kind="stable")[:n]
+    states = np.zeros(K, np.int32)
+    costs = np.full(K, np.float32(np.inf))
+    states[:n] = sc.states[order]
+    costs[:n] = sc.costs[order]
+    stb = StepState(
+        states=jnp.broadcast_to(jnp.asarray(states), (batch, K)),
+        costs=jnp.broadcast_to(jnp.asarray(costs), (batch, K)),
+        base=jnp.zeros((batch,), jnp.float32),
+    )
+    bp_init = np.zeros((0, K, 2), np.int32)
+    return stb, bp_init
+
+
 # ---------------------------------------------------------------------------
 # Results + host backtrace
 # ---------------------------------------------------------------------------
@@ -143,6 +190,11 @@ class ViterbiResult:
 
     Backpointer layout per utterance: the init closure's (D, K, 2) block,
     then per frame an emitting (K, 2) block and a (D, K, 2) eps block.
+
+    With ``fold`` set (eps-precomposed decode,
+    :mod:`kaldi_decoder_tpu.fst.fold`), D == 0, arcs in ``bp_emit`` are
+    folded ids, and ``graph`` is the ORIGINAL graph — the backtrace
+    expands each folded arc into its original arc path.
     """
 
     graph: CsrGraph
@@ -158,6 +210,7 @@ class ViterbiResult:
     best_costs: np.ndarray  # (T, B) absolute best cost per frame
     cutoffs: np.ndarray  # (T, B)
     overflows: np.ndarray  # (T, B) bool
+    fold: object = None  # Optional[FoldedGraph]
 
     @property
     def batch_size(self) -> int:
@@ -258,10 +311,14 @@ class ViterbiResult:
                 slot = prev_slot
             walk_eps(self.bp_init, -1)
 
+        fwd_arcs = list(reversed(rev))
+        if self.fold is not None:
+            fwd_arcs = self._expand_folded(fwd_arcs, final_state)
+
         out = Lattice()
         cur = out.add_state()
         out.set_start(cur)
-        for is_eps, arc, t in reversed(rev):
+        for is_eps, arc, t in fwd_arcs:
             nxt = out.add_state()
             if is_eps:
                 out.add_arc(
@@ -280,6 +337,33 @@ class ViterbiResult:
         else:
             out.set_final(cur, (0.0, 0.0))
         return remove_eps_local(out)
+
+    def _expand_folded(self, fwd_arcs, final_state: int):
+        """Map folded arc ids back to original-arc sequences and prepend
+        the start state's eps path (see fst/fold.py)."""
+        f = self.fold
+        orig = f.orig.arrays
+        out = []
+        # Initial eps path: from start to the first emitting arc's source
+        # state (or to the final state when no frames were decoded).
+        if fwd_arcs:
+            first_em = f.em_arc_of(np.int64(fwd_arcs[0][1]))
+            s0 = int(
+                np.searchsorted(orig.em_row_ptr, int(first_em), side="right") - 1
+            )
+        else:
+            s0 = final_state
+        where = np.flatnonzero(f.start.states == s0)
+        if len(where):
+            for a in f.start.paths[int(where[0])]:
+                out.append((True, int(a), -1))
+        for is_eps, arc, t in fwd_arcs:
+            assert not is_eps, "folded decode emits no device eps arcs"
+            lo, hi = int(f.path_ptr[arc]), int(f.path_ptr[arc + 1])
+            out.append((False, int(f.path_arcs[lo]), t))
+            for a in f.path_arcs[lo + 1 : hi]:
+                out.append((True, int(a), t))
+        return out
 
     def stats(self, b: int = 0) -> DecodeStats:
         L = int(self.lengths[b])
@@ -312,18 +396,22 @@ class BatchedViterbiDecoder:
         pad_time_to: int = 128,
         mesh=None,
         data_axis: str = "data",
+        fold: bool = True,
     ):
         self.graph = graph
-        self.cfg = config if config is not None else config_for_graph(graph)
+        self.fold = _maybe_fold(graph, fold)
+        dev_graph = self.fold.device if self.fold is not None else graph
+        self._dev_graph = dev_graph
+        self.cfg = _cfg_for_device_graph(dev_graph, config)
         self.cfg.validate()
         self.pad_time_to = pad_time_to
         self.mesh = mesh
         self._batch_multiple = mesh.devices.size if mesh is not None else 1
         self._pg_dev = jax.tree.map(
             jnp.asarray,
-            pack_graph(graph, self.cfg.block_width, self.cfg.eps_block_width),
+            pack_graph(dev_graph, self.cfg.block_width, self.cfg.eps_block_width),
         )
-        self._chunk_fn = build_chunk_fn(graph, self.cfg, mesh, data_axis)
+        self._chunk_fn = build_chunk_fn(dev_graph, self.cfg, mesh, data_axis)
 
     def decode(
         self,
@@ -354,7 +442,10 @@ class BatchedViterbiDecoder:
         else:
             scores_p, lengths_p = scores, lengths
 
-        st0, bp_init = _batched_init(self._pg_dev, self.graph, self.cfg, Bp)
+        if self.fold is not None:
+            st0, bp_init = _folded_init(self.fold, self.cfg, Bp)
+        else:
+            st0, bp_init = _batched_init(self._pg_dev, self.graph, self.cfg, Bp)
         stf, outs = self._chunk_fn(
             self._pg_dev, jnp.asarray(scores_p), jnp.asarray(lengths_p), st0
         )
@@ -364,6 +455,7 @@ class BatchedViterbiDecoder:
             scores=scores,
             lengths=lengths,
             bp_init=bp_init,
+            fold=self.fold,
             bp_emit=np.asarray(outs.bp_emit),
             bp_eps=np.asarray(outs.bp_eps),
             frontier_states=np.asarray(stf.states),

@@ -157,14 +157,14 @@ def prune_lattice(
     frame_states: np.ndarray,  # (L+1, K) int32 frontier states per frame
     frame_costs: np.ndarray,  # (L+1, K) float32 absolute alphas
     init_eps_records: np.ndarray,  # (D, R, 2)
-    em_records: np.ndarray,  # (L, R_em, 2)
-    eps_records: np.ndarray,  # (L, D, R_eps, 2)
+    em_records,  # (L, R_em, 2) array or length-L list of (R_t, 2)
+    eps_records,  # (L, D, R_eps, 2) array or length-L list of (.., 2)
     scores: np.ndarray,  # (L, V)
     graph: CsrGraph,
     lattice_beam: float,
     use_final_probs: bool = True,
 ) -> Optional[PrunedLattice]:
-    L = em_records.shape[0]
+    L = len(em_records)
     tokens = [
         _frame_tokens(frame_states[f], frame_costs[f]) for f in range(L + 1)
     ]
