@@ -99,7 +99,10 @@ class FrontierConfig:
 
     @property
     def num_candidates(self) -> int:
-        return self.frontier_size * self.block_width + self.rem_budget
+        from kaldi_decoder_tpu.fst.pack import FLAT_GROUP
+
+        units = -(-self.rem_budget // FLAT_GROUP)
+        return self.frontier_size * self.block_width + units * FLAT_GROUP
 
 
 def _next_pow2(x: int) -> int:
@@ -121,22 +124,22 @@ def config_for_graph(graph: CsrGraph, base: Optional[FrontierConfig] = None, **k
     K = max(8, min(K, _next_pow2(max(graph.num_states, 2))))
     kw["frontier_size"] = K
 
-    # Row-gather cost is per row (width-free up to ~128 ints), but every
-    # block lane costs sort/score work downstream: total lanes K*W + R are
-    # minimized at W ~ median out-degree, with the remainder path (exact,
-    # lane-mapped) absorbing the tail.  Overflow of R is flagged, never
-    # silent.
+    # Row-gather cost is per row (width-free up to ~128 ints); remainder
+    # lanes cost a row gather per FLAT_GROUP arcs plus downstream
+    # sort/score work per lane.  W ~ p70 of out-degrees balances block
+    # lanes against expected remainder mass; the remainder budget is sized
+    # to ~2x the expected tail so overflow (flagged, never silent) is
+    # rare.
     deg = np.diff(graph.arrays.em_row_ptr)
     nz = deg[deg > 0]
-    p50 = int(np.quantile(nz, 0.5)) if len(nz) else 1
-    W = kw.get("block_width", max(1, min(p50, 16, graph.max_em_out_degree or 1)))
+    p70 = int(np.quantile(nz, 0.7)) if len(nz) else 1
+    W = kw.get("block_width", max(1, min(p70, 24, graph.max_em_out_degree or 1)))
     kw["block_width"] = max(1, W)
 
     if "rem_budget" not in kw:
-        # Expected remainder lanes if the whole frontier were live, plus
-        # slack; bounded below so skewed graphs stay safe.
-        exp_rem = float(np.maximum(deg[deg > 0] - W, 0).mean()) if len(nz) else 0
-        rem = int(max(1024, min(4 * K, 2 * exp_rem * K + 1024)))
+        # ~2x expected remainder lanes for a full frontier, plus slack.
+        exp_rem = float(np.maximum(nz - W, 0).mean()) if len(nz) else 0.0
+        rem = int(max(2048, min(6 * K, 2 * exp_rem * K + 2048)))
         kw["rem_budget"] = min(rem, max(graph.num_emitting_arcs, 8))
     kw["rem_budget"] = max(8, kw["rem_budget"])
 
@@ -221,27 +224,43 @@ def expand_emitting(
         jnp.arange(K, dtype=jnp.int32)[:, None], (K, W)
     )
 
-    # Remainder lanes: arcs W.. of fat states, exact via lane mapping.
-    rem_deg = jnp.maximum(deg - W, 0)
-    lm = map_lanes(rem_deg, R)
-    arc_rem = row_lo[lm.owner] + W + lm.within
-    rows = pg.em_flat[jnp.where(lm.valid, arc_rem, 0)]
-    cost_rem = jnp.where(
-        lm.valid, st.costs[lm.owner] + _bitcast_f32(rows[:, 0]), INF
-    )
+    # Remainder lanes: arcs W.. of fat states, exact via lane mapping over
+    # FLAT_GROUP-arc units — each row gather covers FLAT_GROUP arcs, since
+    # gather cost is per row (see fst/pack.py).
+    from kaldi_decoder_tpu.fst.pack import FLAT_GROUP as G
 
-    dst = jnp.concatenate([nxt.reshape(-1), rows[:, 1]])
-    sidx_all = jnp.concatenate([sidx.reshape(-1), rows[:, 2]])
-    cost = jnp.concatenate([cost_blk.reshape(-1), cost_rem])
+    Ru = -(-R // G)
+    tail_lo = row_lo + W
+    tail_hi = row_lo + deg
+    has_rem = deg > W
+    u_first = jnp.where(has_rem, tail_lo // G, 0)
+    n_units = jnp.where(has_rem, (tail_hi - 1) // G - u_first + 1, 0)
+    lm = map_lanes(n_units, Ru)
+    unit = u_first[lm.owner] + lm.within
+    rows = pg.em_flat[jnp.where(lm.valid, unit, 0)].reshape(Ru, G, EM_FIELDS)
+    arc_rem = unit[:, None] * G + jnp.arange(G, dtype=jnp.int32)[None, :]
+    in_range = (
+        lm.valid[:, None]
+        & (arc_rem >= tail_lo[lm.owner][:, None])
+        & (arc_rem < tail_hi[lm.owner][:, None])
+    )
+    cost_rem = jnp.where(
+        in_range, st.costs[lm.owner][:, None] + _bitcast_f32(rows[..., 0]), INF
+    )
+    src_rem = jnp.broadcast_to(lm.owner[:, None], (Ru, G))
+
+    dst = jnp.concatenate([nxt.reshape(-1), rows[..., 1].reshape(-1)])
+    sidx_all = jnp.concatenate([sidx.reshape(-1), rows[..., 2].reshape(-1)])
+    cost = jnp.concatenate([cost_blk.reshape(-1), cost_rem.reshape(-1)])
     # Acoustic scores fused in (decodable-ctc.cc:22-29 lookup).
     ac = -score_lookup(sidx_all, scores_t, cfg.score_onehot)
     cost = cost + ac  # inf + finite stays inf
     return Candidates(
         dst=dst,
         cost=cost,
-        src_slot=jnp.concatenate([src_blk.reshape(-1), lm.owner]),
-        arc_id=jnp.concatenate([arc_blk.reshape(-1), arc_rem]),
-        overflow=lm.total > R,
+        src_slot=jnp.concatenate([src_blk.reshape(-1), src_rem.reshape(-1)]),
+        arc_id=jnp.concatenate([arc_blk.reshape(-1), arc_rem.reshape(-1)]),
+        overflow=lm.total > Ru,
     )
 
 

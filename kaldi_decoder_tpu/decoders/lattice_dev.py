@@ -383,7 +383,10 @@ def _build_lattice_chunk_fn_cached(
             return lattice_frame_step_batched(st, scores_t, active, pg, cfg, S)
 
         ts = jnp.arange(scores_tm.shape[0], dtype=jnp.int32)
-        stf, outs = jax.lax.scan(body, st0, (scores_tm, ts))
+        stf, outs = jax.lax.scan(
+            body, st0, (scores_tm, ts),
+            unroll=int(__import__("os").environ.get("KDTPU_SCAN_UNROLL", "1")),
+        )
         return stf, outs
 
     if mesh is None:

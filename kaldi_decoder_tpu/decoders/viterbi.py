@@ -84,7 +84,10 @@ def _build_chunk_fn_cached(S: int, cfg: FrontierConfig, mesh, data_axis: str):
             return frame_step_batched(st, scores_t, active, pg, cfg, S)
 
         ts = jnp.arange(T, dtype=jnp.int32)
-        stf, outs = jax.lax.scan(body, st0, (scores_tm, ts))
+        stf, outs = jax.lax.scan(
+            body, st0, (scores_tm, ts),
+            unroll=int(__import__("os").environ.get("KDTPU_SCAN_UNROLL", "1")),
+        )
         return stf, outs
 
     if mesh is None:

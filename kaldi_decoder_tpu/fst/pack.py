@@ -14,9 +14,12 @@ bit-packed into int32 rows:
   block expansion is ONE row gather (the header rides along for free —
   row-gather cost is per *row*, not per byte — and eliminates the two
   separate ``row_ptr`` element gathers per expansion).
-* ``em_flat (E, 5)`` — all emitting arcs, for the remainder path (arcs
-  beyond W of fat states) and as the arc-id-indexed table; row gather per
-  remainder lane.
+* ``em_flat (ceil(E/4), 4*5)`` — all emitting arcs packed FLAT_GROUP=4 per
+  row, for the remainder path (arcs beyond W of fat states).  Gather cost
+  on TPU is per row, so each remainder row-gather covers 4 arcs: 4x the
+  lane capacity at the same gather cost (a remainder "unit" u holds arcs
+  [4u, 4u+4), and a state's tail [row_lo+W, row_lo+deg) maps to the unit
+  range containing it, with per-arc masks for the ragged ends).
 * analogous ``eps_block (S, We*4 + 2)`` / ``eps_flat (E_eps, 4)`` with
   fields (weight, nextstate, olabel, pad).
 
@@ -38,6 +41,7 @@ INF_BITS = np.float32(np.inf).view(np.int32)
 
 EM_FIELDS = 5  # weight, next, score_idx, olabel, ilabel
 EPS_FIELDS = 4  # weight, next, olabel, pad
+FLAT_GROUP = 4  # emitting arcs per em_flat row (remainder packing)
 
 
 class PackedGraph(NamedTuple):
@@ -45,7 +49,7 @@ class PackedGraph(NamedTuple):
 
     em_row_ptr: object  # (S+1,) int32
     em_block: object  # (S, W_em * 5 + 2) int32 — arcs + [row_lo, deg]
-    em_flat: object  # (E_em, 5) int32
+    em_flat: object  # (ceil(E_em/4), 4*5) int32 — FLAT_GROUP arcs per row
     eps_row_ptr: object  # (S+1,) int32
     eps_block: object  # (S, W_eps * 4 + 2) int32 — arcs + [row_lo, deg]
     eps_flat: object  # (E_eps, 4) int32
@@ -112,12 +116,21 @@ def pack_graph(graph: CsrGraph, w_em: int, w_eps: int) -> PackedGraph:
         [ga.eps_row_ptr[:-1].astype(np.int32), edeg.astype(np.int32)], axis=1
     )
 
+    # Pack the flat table FLAT_GROUP arcs per row (pad rows get +inf
+    # weights so stray lanes self-invalidate).
+    G = FLAT_GROUP
+    n_units = (E + G - 1) // G if E else 0
+    em_flat_p = np.empty((n_units * G, EM_FIELDS), np.int32)
+    em_flat_p[:, 0] = INF_BITS
+    em_flat_p[:, 1:] = 0
+    em_flat_p[:E] = em_flat
+
     return PackedGraph(
         em_row_ptr=ga.em_row_ptr,
         em_block=np.concatenate(
             [em_block.reshape(S, w_em * EM_FIELDS), em_hdr], axis=1
         ),
-        em_flat=em_flat,
+        em_flat=em_flat_p.reshape(n_units, G * EM_FIELDS),
         eps_row_ptr=ga.eps_row_ptr,
         eps_block=np.concatenate(
             [eps_block.reshape(S, w_eps * EPS_FIELDS), eps_hdr], axis=1

@@ -44,7 +44,7 @@ from kaldi_decoder_tpu.decoders.frontier import (
     expand_eps,
 )
 from kaldi_decoder_tpu.fst.csr import CsrGraph, GraphArrays
-from kaldi_decoder_tpu.fst.pack import PackedGraph, pack_graph
+from kaldi_decoder_tpu.fst.pack import EM_FIELDS, EPS_FIELDS, PackedGraph, pack_graph
 from kaldi_decoder_tpu.ops.segment import dedup_select
 
 INF = jnp.inf
@@ -132,20 +132,23 @@ def shard_graph(graph: CsrGraph, num_parts: int, w_em: int, w_eps: int) -> Shard
     e_max = max(p.em_flat.shape[0] for p in parts)
     z_max = max(p.eps_flat.shape[0] for p in parts)
 
-    def pad_flat(flat, n, inf_weight_col=0):
+    def pad_flat(flat, n, fields):
+        # Pad rows mark every packed arc's weight column +inf so stray
+        # lanes self-invalidate (em rows hold FLAT_GROUP arcs of `fields`
+        # ints each; eps rows hold one arc).
         if flat.shape[0] == n:
             return flat
         pad = np.zeros((n - flat.shape[0], flat.shape[1]), np.int32)
-        pad[:, inf_weight_col] = np.float32(np.inf).view(np.int32)
+        pad[:, ::fields] = np.float32(np.inf).view(np.int32)
         return np.concatenate([flat, pad], axis=0)
 
     stacked = PackedGraph(
         em_row_ptr=np.stack([p.em_row_ptr for p in parts]),
         em_block=np.stack([p.em_block for p in parts]),
-        em_flat=np.stack([pad_flat(p.em_flat, e_max) for p in parts]),
+        em_flat=np.stack([pad_flat(p.em_flat, e_max, EM_FIELDS) for p in parts]),
         eps_row_ptr=np.stack([p.eps_row_ptr for p in parts]),
         eps_block=np.stack([p.eps_block for p in parts]),
-        eps_flat=np.stack([pad_flat(p.eps_flat, z_max) for p in parts]),
+        eps_flat=np.stack([pad_flat(p.eps_flat, z_max, EPS_FIELDS) for p in parts]),
         final_cost=np.stack([p.final_cost for p in parts]),
     )
     return ShardedGraph(
