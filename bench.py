@@ -63,7 +63,9 @@ def build():
         eps_rem_budget=2048,
     )
     dec = BatchedLatticeDecoder(
-        graph, fc, lattice_beam=8.0, em_records=4096, eps_records=1024,
+        graph, fc, lattice_beam=8.0,
+        em_records=int(os.environ.get("KDTPU_BENCH_EM_RECORDS", "4096")),
+        eps_records=1024,
         pad_time_to=CHUNK_FRAMES,
     )
     return graph, dec

@@ -190,8 +190,8 @@ def lattice_emit_stage(
     nvalid = jnp.isfinite(cand.cost) & (cand.cost < next_cutoff)
     ncost = jnp.where(nvalid, cand.cost, INF)
 
-    # Record compaction rides the dedup's state-sort (invalid candidates
-    # sort to the end), so the ForwardLink records cost no extra sort.
+    # Dedup + frontier selection + records in one fused op: run minima
+    # first (lattice connectivity guaranteed), then cheapest extra links.
     sel = dedup_select_rec(cand.dst, ncost, K, num_states, r_em)
     ok_r = sel.rec_idx >= 0
     safe_r = jnp.where(ok_r, sel.rec_idx, 0)

@@ -90,6 +90,12 @@ def _collect_em_links(
     ok = records[:, 1] >= 0
     src_state = records[ok, 0]
     arc = records[ok, 1]
+    # Dedup (src_state, arc): the device record buffer may repeat a link
+    # (frontier winners are emitted in addition to the fill prefix).
+    if len(arc):
+        key = src_state.astype(np.int64) * (graph.num_emitting_arcs + 1) + arc
+        _, first = np.unique(key, return_index=True)
+        src_state, arc = src_state[first], arc[first]
     dst_state = ga.em_next[arc]
     si = toks_src.index_of(src_state)
     di = toks_dst.index_of(dst_state)

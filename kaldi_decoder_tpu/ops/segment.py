@@ -156,22 +156,35 @@ def dedup_select_rec(
     num_states: int,
     r: int,  # record buffer capacity (static)
 ) -> SelectionRec:
-    """dedup_select + compacted indices of *all* valid candidates.
+    """dedup_select + lattice record indices, at no extra sort/top_k.
 
-    The state-sort already moves invalid candidates (cost +inf) to the
-    end, so the first ``num_valid`` sorted entries are exactly the
-    surviving arcs — the lattice ForwardLink records
-    (`lattice-simple-decoder.cc:393-398`) — with no extra sort.
+    Records (`lattice-simple-decoder.cc:393-398`) are assembled from two
+    free sources: the frontier winners' own candidate indices (every
+    surviving token's BEST incoming link — lattice connectivity and the
+    exact best path are never lost to record overflow) plus the leading
+    ``r - k`` valid entries of the state-sort as extra-link fill.  The
+    two parts may overlap; the host link collector dedups (src, arc)
+    pairs.  Overflow (more valid links than fit) is flagged.
     """
     sel, i2, num_valid = _dedup_core(cand_state, cand_cost, k, num_states)
-    pos = jnp.arange(r, dtype=jnp.int32)
-    rec_idx = jnp.where(pos < num_valid, i2[:r], -1)
+    if r <= k:
+        rec_idx = sel.cand_idx[:r]
+        overflow = num_valid > r
+    else:
+        fill = i2[: r - k]
+        pos = jnp.arange(r - k, dtype=jnp.int32)
+        fill = jnp.where(pos < num_valid, fill, -1)
+        rec_idx = jnp.concatenate([sel.cand_idx, fill]).astype(jnp.int32)
+        # Complete iff the fill prefix alone holds every valid link (the
+        # winner part may duplicate fill entries, so r itself is not the
+        # capacity bound).
+        overflow = num_valid > (r - k)
     return SelectionRec(
         states=sel.states,
         costs=sel.costs,
         cand_idx=sel.cand_idx,
         rec_idx=rec_idx,
-        rec_overflow=num_valid > r,
+        rec_overflow=overflow,
     )
 
 

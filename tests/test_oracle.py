@@ -210,3 +210,32 @@ class TestFinalSemantics:
         assert dec.final_relative_cost() == INF
         # use_final_probs falls back to best token (simple-decoder.cc:110-114)
         assert path_labels(dec.get_best_path()) == [7]
+
+
+class TestDedupSelectRec:
+    def test_matches_dedup_select_with_large_min_cost(self):
+        # Regression: when all candidate costs exceed 1, the boosted
+        # (run-minimum) sort keys are positive — selection must still
+        # find every run minimum (band threshold is minc-0.5, not 0).
+        import jax.numpy as jnp
+        from kaldi_decoder_tpu.ops.segment import dedup_select, dedup_select_rec
+
+        rng = np.random.default_rng(7)
+        for _ in range(50):
+            N, S, K, R = 64, 10, 8, 64
+            st = jnp.asarray(rng.integers(0, S, N).astype(np.int32))
+            c = (rng.random(N).astype(np.float32) * 5 + 2.0)  # minc > 1
+            c[rng.random(N) < 0.4] = np.inf
+            cj = jnp.asarray(c)
+            a = dedup_select(st, cj, K, S)
+            b = dedup_select_rec(st, cj, K, S, R)
+            assert np.array_equal(np.asarray(a.states), np.asarray(b.states))
+            assert np.allclose(
+                np.asarray(a.costs), np.asarray(b.costs), equal_nan=True
+            )
+            assert np.array_equal(
+                np.asarray(a.cand_idx), np.asarray(b.cand_idx)
+            )
+            want = set(np.flatnonzero(np.isfinite(c)).tolist())
+            got = {int(x) for x in np.asarray(b.rec_idx) if x >= 0}
+            assert got == want
