@@ -97,9 +97,10 @@ Fst* parse_binary(const uint8_t* data, size_t len, char* err, int errlen) {
   }
   std::string fst_type = c.read_string();
   std::string arc_type = c.read_string();
-  if (fst_type != "vector") {
+  if (fst_type != "vector" && fst_type != "const") {
     set_err(err, errlen, "unsupported FST container type '" + fst_type +
-                             "' (only 'vector'; convert with fstconvert)");
+                             "' (only 'vector'/'const'; convert with "
+                             "fstconvert)");
     return nullptr;
   }
   int wd;
@@ -118,11 +119,75 @@ Fst* parse_binary(const uint8_t* data, size_t len, char* err, int errlen) {
   int64_t num_states = c.read<int64_t>();
   int64_t num_arcs = c.read<int64_t>();
   if (!c.ok || version < 1 || version > 2) {
-    set_err(err, errlen, "unsupported VectorFst file version");
+    set_err(err, errlen, "unsupported FST file version");
     return nullptr;
   }
   if (num_states < 0) num_states = 0;
   if (num_arcs < 0) num_arcs = 0;
+
+  if (fst_type == "const") {
+    // ConstFst<Arc, uint32> layout (openfst const-fst.h): after the
+    // header come flat arrays -- per state {final weight(s), u32 pos,
+    // u32 narcs, u32 niepsilons, u32 noepsilons}, then the packed arcs.
+    // File version 1 aligns each array to a 16-byte boundary relative to
+    // the file start; version 2 is unaligned.  This maps to CSR directly
+    // (the reference binds ConstFst ctors,
+    // python/csrc/simple-decoder.cc:16-21).
+    auto align16 = [&]() {
+      size_t off = static_cast<size_t>(c.p - data);
+      size_t pad = (16 - (off & 15)) & 15;
+      if (c.p + pad > c.end) { c.ok = false; return; }
+      c.p += pad;
+    };
+    auto fst = std::make_unique<Fst>();
+    fst->num_states = num_states;
+    fst->start = start;
+    fst->weight_dim = wd;
+    fst->row_ptr.resize(static_cast<size_t>(num_states) + 1, 0);
+    fst->final_w.resize(static_cast<size_t>(num_states) * wd);
+    if (version == 1) align16();
+    for (int64_t s = 0; s < num_states; ++s) {
+      for (int k = 0; k < wd; ++k) {
+        fst->final_w[static_cast<size_t>(s) * wd + k] = c.read<float>();
+      }
+      uint32_t pos = c.read<uint32_t>();
+      uint32_t narcs = c.read<uint32_t>();
+      c.read<uint32_t>();  // niepsilons
+      c.read<uint32_t>();  // noepsilons
+      if (!c.ok) {
+        set_err(err, errlen, "truncated ConstFst state table");
+        return nullptr;
+      }
+      if (static_cast<int64_t>(pos) + narcs > num_arcs ||
+          static_cast<int64_t>(pos) != fst->row_ptr[static_cast<size_t>(s)]) {
+        // ConstFst arc ranges are contiguous per state (the writer dumps
+        // one flat arcs_ array); anything else is a corrupt file.
+        set_err(err, errlen, "ConstFst state arc range not contiguous");
+        return nullptr;
+      }
+      fst->row_ptr[static_cast<size_t>(s) + 1] =
+          static_cast<int64_t>(pos) + narcs;
+    }
+    if (version == 1) align16();
+    fst->ilabel.resize(static_cast<size_t>(num_arcs));
+    fst->olabel.resize(static_cast<size_t>(num_arcs));
+    fst->weight.resize(static_cast<size_t>(num_arcs) * wd);
+    fst->nextstate.resize(static_cast<size_t>(num_arcs));
+    const size_t arc_bytes = 12 + 4 * static_cast<size_t>(wd);
+    if (c.p + static_cast<size_t>(num_arcs) * arc_bytes > c.end) {
+      set_err(err, errlen, "truncated ConstFst arc table");
+      return nullptr;
+    }
+    for (int64_t a = 0; a < num_arcs; ++a) {
+      fst->ilabel[static_cast<size_t>(a)] = c.read<int32_t>();
+      fst->olabel[static_cast<size_t>(a)] = c.read<int32_t>();
+      for (int k = 0; k < wd; ++k) {
+        fst->weight[static_cast<size_t>(a) * wd + k] = c.read<float>();
+      }
+      fst->nextstate[static_cast<size_t>(a)] = c.read<int32_t>();
+    }
+    return fst.release();
+  }
 
   auto fst = std::make_unique<Fst>();
   fst->num_states = num_states;
@@ -487,16 +552,19 @@ int64_t kd_backtrace(int64_t T, int64_t K, int64_t D, int64_t D_init,
 }
 
 // -- Lattice shortest path -----------------------------------------------------
-// Tropical-total-order shortest path over a lattice given as flat arc arrays
+// Natural-order shortest path over a lattice given as flat arc arrays
 // (replaces fst::ShortestPath, lattice-simple-decoder.cc:574-580).  The
-// lattice semiring compares by w_graph + w_acoustic (lattice-weight.h
-// semantics).  Requires an acyclic graph (decoder lattices always are).
+// lattice semiring compares by w_graph + w_acoustic; ties on the total
+// prefer the SMALLER graph component (lattice-weight.h Compare semantics).
+// w_graph / final_graph may be null for plain tropical (no tie-break).
+// Requires an acyclic graph (decoder lattices always are).
 //
 // Output: indices of the best path's arcs in forward order.
 // Returns n >= 0, -1 if no successful path, -2 if cyclic, -3 if cap too small.
 int64_t kd_shortest_path(int64_t S, int64_t A, const int32_t* src,
-                         const float* w_total, const int32_t* dst,
-                         const float* final_total, int64_t start, int32_t* out,
+                         const float* w_total, const float* w_graph,
+                         const int32_t* dst, const float* final_total,
+                         const float* final_graph, int64_t start, int32_t* out,
                          int64_t cap) {
   if (S <= 0 || start < 0 || start >= S) return -1;
   // CSR by source (counting sort keeps arc order stable).
@@ -528,29 +596,37 @@ int64_t kd_shortest_path(int64_t S, int64_t A, const int32_t* src,
 
   const double inf = std::numeric_limits<double>::infinity();
   std::vector<double> cost(static_cast<size_t>(S), inf);
+  std::vector<double> gcost(static_cast<size_t>(S), inf);  // graph component
   std::vector<int32_t> back(static_cast<size_t>(S), -1);  // arc index into state
   cost[static_cast<size_t>(start)] = 0.0;
+  gcost[static_cast<size_t>(start)] = 0.0;
   for (int32_t s : topo) {
     double c = cost[static_cast<size_t>(s)];
     if (c == inf) continue;
+    double g = gcost[static_cast<size_t>(s)];
     for (int64_t k = row[static_cast<size_t>(s)]; k < row[static_cast<size_t>(s) + 1]; ++k) {
       int32_t a = order[static_cast<size_t>(k)];
       double nc = c + static_cast<double>(w_total[a]);
-      int64_t t = dst[a];
-      if (nc < cost[static_cast<size_t>(t)]) {
-        cost[static_cast<size_t>(t)] = nc;
-        back[static_cast<size_t>(t)] = a;
+      double ng = g + (w_graph ? static_cast<double>(w_graph[a]) : 0.0);
+      size_t t = static_cast<size_t>(dst[a]);
+      if (nc < cost[t] || (nc == cost[t] && ng < gcost[t])) {
+        cost[t] = nc;
+        gcost[t] = ng;
+        back[t] = a;
       }
     }
   }
-  // Best final state.
+  // Best final state (same natural-order tie-break).
   int64_t best_s = -1;
-  double best_c = inf;
+  double best_c = inf, best_g = inf;
   for (int64_t s = 0; s < S; ++s) {
     if (!std::isfinite(final_total[s])) continue;
     double c = cost[static_cast<size_t>(s)] + static_cast<double>(final_total[s]);
-    if (c < best_c) {
+    double g = gcost[static_cast<size_t>(s)] +
+               (final_graph ? static_cast<double>(final_graph[s]) : 0.0);
+    if (c < best_c || (c == best_c && g < best_g)) {
       best_c = c;
+      best_g = g;
       best_s = s;
     }
   }

@@ -68,10 +68,7 @@ def cmd_decode(args) -> int:
         if args.apply_log_softmax:
             m = logits - logits.max(axis=-1, keepdims=True)
             logits = m - np.log(np.exp(m).sum(axis=-1, keepdims=True))
-        if args.decoder == "faster":
-            dec.decode(DecodableCtc(logits.astype(np.float32)))
-        else:
-            dec.decode(DecodableCtc(logits.astype(np.float32)))
+        dec.decode(DecodableCtc(logits.astype(np.float32)))
         ok, best = dec.get_best_path()
         elapsed = time.time() - t0
         if not ok:

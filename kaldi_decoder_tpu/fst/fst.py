@@ -84,15 +84,19 @@ class LatticeWeight:
 
     @staticmethod
     def plus(a: Tuple[float, float], b: Tuple[float, float]) -> Tuple[float, float]:
+        # Kaldi's lattice-weight.h Compare: smaller total cost compares
+        # "larger" (better); on equal totals it tests
+        # ``w1.v1 + w2.v2 < w2.v1 + w1.v2`` — i.e. the weight with the
+        # SMALLER value1 (graph cost) compares larger.  Plus returns w1
+        # when Compare(w1, w2) >= 0, so on a full tie the first argument
+        # wins.  (fstext/lattice-weight.h, vendored by kaldifst; used via
+        # `faster-decoder.h:20`.)
         ta, tb = a[0] + a[1], b[0] + b[1]
         if ta < tb:
             return a
         if tb < ta:
             return b
-        # tie: prefer larger graph cost? kaldifst Compare: if w1.v1 > w2.v1
-        # return -1 (w1 "less")... Kaldi convention: on total tie the one with
-        # *greater* value1 compares less (so it wins Plus).  Keep that.
-        return a if a[0] >= b[0] else b
+        return a if a[0] <= b[0] else b
 
     @staticmethod
     def times(a: Tuple[float, float], b: Tuple[float, float]) -> Tuple[float, float]:

@@ -137,9 +137,8 @@ def _read_fst_body(f):
     (num_states,) = struct.unpack("<q", f.read(8))
     (_num_arcs,) = struct.unpack("<q", f.read(8))
     if fst_type == b"const":
-        raise ValueError(
-            "ConstFst binary reading not supported yet; convert with "
-            "fstconvert --fst_type=vector"
+        return _read_const_body(
+            f, arc_type, version, start, num_states, _num_arcs
         )
     if version < 1 or version > _FILE_VERSION:
         raise ValueError(f"Unsupported VectorFst file version {version}")
@@ -191,6 +190,123 @@ def _read_fst_body(f):
     if start >= 0:
         fst.set_start(int(start))
     return fst
+
+
+def _read_const_body(f, arc_type, version, start, num_states, num_arcs):
+    """Parse the ConstFst<Arc, uint32> container (openfst const-fst.h).
+
+    Layout after the header: a flat state table — per state
+    ``{final weight(s), u32 pos, u32 narcs, u32 niepsilons, u32
+    noepsilons}`` — then the packed arc array.  File version 1 aligns each
+    array to 16 bytes from the file start; version 2 is unaligned.  Real
+    icefall HLGs ship in this format, and the reference binds ConstFst
+    constructors (`python/csrc/simple-decoder.cc:16-21`).
+    """
+    if version < 1 or version > 2:
+        raise ValueError(f"Unsupported ConstFst file version {version}")
+    cls = StdVectorFst if arc_type == "standard" else Lattice
+    wd = cls._weight_dim
+    if num_states < 0:
+        num_states = 0
+    if num_arcs < 0:
+        num_arcs = 0
+    # Header size: magic(4) + 2 length-prefixed strings + version(4) +
+    # flags(4) + props(8) + start/nstates/narcs(24).
+    hdr_len = 4 + (4 + len(b"const")) + (4 + _ARC_TYPES[arc_type].__len__())
+    hdr_len += 4 + 4 + 8 + 24
+    buf = f.read()
+    off = 0
+
+    def align16(off):
+        pos = hdr_len + off
+        return off + ((16 - (pos & 15)) & 15)
+
+    if version == 1:
+        off = align16(off)
+    ss = 4 * wd + 16  # state record bytes
+    raw = np.frombuffer(
+        buf, np.uint8, count=num_states * ss, offset=off
+    ).reshape(num_states, ss)
+    off += num_states * ss
+    finals = raw[:, : 4 * wd].copy().view("<f4").reshape(num_states, wd)
+    pos_arr = raw[:, 4 * wd : 4 * wd + 4].copy().view("<u4").ravel()
+    narcs_arr = raw[:, 4 * wd + 4 : 4 * wd + 8].copy().view("<u4").ravel()
+    ends = pos_arr.astype(np.int64) + narcs_arr
+    starts_expected = np.concatenate([[0], ends[:-1]])
+    if num_states and (
+        np.any(pos_arr != starts_expected) or (num_states and ends[-1] != num_arcs)
+    ):
+        raise ValueError("ConstFst state arc ranges not contiguous")
+    row_ptr = np.concatenate([[0], ends]).astype(np.int64)
+
+    if version == 1:
+        off = align16(off)
+    ab = 12 + 4 * wd  # arc record bytes
+    araw = np.frombuffer(
+        buf, np.uint8, count=num_arcs * ab, offset=off
+    ).reshape(num_arcs, ab)
+    il = araw[:, 0:4].copy().view("<i4").ravel()
+    ol = araw[:, 4:8].copy().view("<i4").ravel()
+    w = araw[:, 8 : 8 + 4 * wd].copy().view("<f4").reshape(num_arcs, wd)
+    ns = araw[:, 8 + 4 * wd :].copy().view("<i4").ravel()
+    if wd == 1:
+        w = w.ravel()
+        finals = finals.ravel()
+    return cls.from_arrays(row_ptr, il, ol, w, ns, finals, int(start))
+
+
+def write_const_fst(fst: VectorFst, path_or_file) -> None:
+    """Write in OpenFst binary ConstFst<Arc, uint32> format (version 2,
+    unaligned) — the format icefall HLGs commonly ship in."""
+    if hasattr(path_or_file, "write"):
+        _write_const_body(fst, path_or_file)
+    else:
+        with open(path_or_file, "wb") as f:
+            _write_const_body(fst, f)
+
+
+def _write_const_body(fst: VectorFst, f) -> None:
+    arrays = fst.to_arrays()
+    S = fst.num_states
+    row_ptr = np.asarray(arrays["row_ptr"], np.int64)
+    E = int(row_ptr[-1])
+    wd = fst._weight_dim
+    f.write(struct.pack("<i", FST_MAGIC))
+    _write_string(f, b"const")
+    _write_string(f, _ARC_TYPES[fst.arc_type])
+    f.write(struct.pack("<i", 2))  # ConstFst file version (unaligned)
+    f.write(struct.pack("<i", 0))  # flags
+    f.write(struct.pack("<Q", 0x1))  # properties: kExpanded
+    f.write(struct.pack("<q", fst.start))
+    f.write(struct.pack("<q", S))
+    f.write(struct.pack("<q", E))
+    il = np.asarray(arrays["ilabel"], np.int32)
+    ol = np.asarray(arrays["olabel"], np.int32)
+    ns = np.asarray(arrays["nextstate"], np.int32)
+    w = np.asarray(arrays["weight"], np.float32).reshape(E, wd)
+    fin = np.asarray(arrays["final"], np.float32).reshape(S, wd)
+    narcs = np.diff(row_ptr).astype(np.uint32)
+    nieps = np.zeros(S, np.uint32)
+    noeps = np.zeros(S, np.uint32)
+    for s in range(S):
+        lo, hi = int(row_ptr[s]), int(row_ptr[s + 1])
+        nieps[s] = int(np.sum(il[lo:hi] == 0))
+        noeps[s] = int(np.sum(ol[lo:hi] == 0))
+    st = np.zeros((S, 4 * wd + 16), np.uint8)
+    st[:, : 4 * wd] = fin.view("<u1").reshape(S, 4 * wd)
+    st[:, 4 * wd : 4 * wd + 4] = (
+        row_ptr[:-1].astype("<u4").view("<u1").reshape(S, 4)
+    )
+    st[:, 4 * wd + 4 : 4 * wd + 8] = narcs.view("<u1").reshape(S, 4)
+    st[:, 4 * wd + 8 : 4 * wd + 12] = nieps.view("<u1").reshape(S, 4)
+    st[:, 4 * wd + 12 :] = noeps.view("<u1").reshape(S, 4)
+    f.write(st.tobytes())
+    ar = np.zeros((E, 12 + 4 * wd), np.uint8)
+    ar[:, 0:4] = il.view("<u1").reshape(E, 4)
+    ar[:, 4:8] = ol.view("<u1").reshape(E, 4)
+    ar[:, 8 : 8 + 4 * wd] = w.view("<u1").reshape(E, 4 * wd)
+    ar[:, 8 + 4 * wd :] = ns.view("<u1").reshape(E, 4)
+    f.write(ar.tobytes())
 
 
 # ---------------------------------------------------------------------------

@@ -120,10 +120,12 @@ def _times(fst: VectorFst, a, b):
 def _plus(fst: VectorFst, a, b):
     if fst._weight_dim == 1:
         return min(a, b)
+    # LatticeWeight natural order: smaller total wins; on equal totals the
+    # smaller value1 (graph cost) wins (see LatticeSemiring.plus).
     ta, tb = a[0] + a[1], b[0] + b[1]
     if ta != tb:
         return a if ta < tb else b
-    return a if a[0] >= b[0] else b
+    return a if a[0] <= b[0] else b
 
 
 def remove_eps_local(fst: VectorFst) -> VectorFst:
@@ -225,12 +227,20 @@ def shortest_path(fst: VectorFst) -> VectorFst:
             np.arange(S, dtype=np.int32), np.diff(arr["row_ptr"])
         ).astype(np.int32)
         w = arr["weight"]
-        w_total = w if fst._weight_dim == 1 else w.sum(axis=1)
         fin = arr["final"]
-        fin_total = fin if fst._weight_dim == 1 else fin.sum(axis=1)
+        if fst._weight_dim == 1:
+            w_total, fin_total = w, fin
+            w_graph = fin_graph = None
+        else:
+            w_total, fin_total = w.sum(axis=1), fin.sum(axis=1)
+            # Natural-order tie-break on the graph component
+            # (lattice-weight.h Compare).
+            w_graph = w[:, 0]
+            fin_graph = np.where(np.isfinite(fin[:, 0]), fin[:, 0], 0.0)
         try:
             path = native.shortest_path_arrays(
-                S, src, w_total, arr["nextstate"], fin_total, fst.start
+                S, src, w_total, arr["nextstate"], fin_total, fst.start,
+                w_graph=w_graph, final_graph=fin_graph,
             )
         except ValueError:
             path = False  # cyclic: fall through to the Dijkstra path below
@@ -252,23 +262,32 @@ def shortest_path(fst: VectorFst) -> VectorFst:
             out.set_final(cur, fst.final(last))
             return out
 
+    # Distances are (total, graph) pairs so equal totals tie-break on the
+    # graph component (LatticeWeight natural order); for tropical FSTs the
+    # graph component is 0 and the tuple order degenerates to the total.
+    def _pair_cost(w):
+        if fst._weight_dim == 1:
+            return (w, 0.0)
+        return (w[0] + w[1], w[0])
+
     order = topological_order(fst)
-    dist = [INF] * S
+    dist: List[Tuple[float, float]] = [(INF, INF)] * S
     # Backpointer: (prev_state, ilabel, olabel, weight)
     back: List[Optional[Tuple[int, int, int, object]]] = [None] * S
-    dist[fst.start] = 0.0
+    dist[fst.start] = (0.0, 0.0)
 
     if order is not None:
         for s in order:
-            if dist[s] == INF:
+            if dist[s][0] == INF:
                 continue
             for arc in fst.arcs(s):
-                nd = dist[s] + _arc_cost(fst, arc.weight)
+                ac = _pair_cost(arc.weight)
+                nd = (dist[s][0] + ac[0], dist[s][1] + ac[1])
                 if nd < dist[arc.nextstate]:
                     dist[arc.nextstate] = nd
                     back[arc.nextstate] = (s, arc.ilabel, arc.olabel, arc.weight)
     else:
-        heap = [(0.0, fst.start)]
+        heap = [((0.0, 0.0), fst.start)]
         done = [False] * S
         while heap:
             d, s = heapq.heappop(heap)
@@ -276,16 +295,18 @@ def shortest_path(fst: VectorFst) -> VectorFst:
                 continue
             done[s] = True
             for arc in fst.arcs(s):
-                nd = d + _arc_cost(fst, arc.weight)
+                ac = _pair_cost(arc.weight)
+                nd = (d[0] + ac[0], d[1] + ac[1])
                 if nd < dist[arc.nextstate]:
                     dist[arc.nextstate] = nd
                     back[arc.nextstate] = (s, arc.ilabel, arc.olabel, arc.weight)
                     heapq.heappush(heap, (nd, arc.nextstate))
 
-    best_final, best_cost = -1, INF
+    best_final, best_cost = -1, (INF, INF)
     for s in range(S):
-        if fst.is_final(s) and dist[s] != INF:
-            c = dist[s] + _arc_cost(fst, fst.final(s))
+        if fst.is_final(s) and dist[s][0] != INF:
+            fc = _pair_cost(fst.final(s))
+            c = (dist[s][0] + fc[0], dist[s][1] + fc[1])
             if c < best_cost:
                 best_cost, best_final = c, s
     if best_final < 0:

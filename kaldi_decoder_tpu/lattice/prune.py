@@ -35,6 +35,7 @@ import numpy as np
 
 from kaldi_decoder_tpu.fst.csr import CsrGraph
 from kaldi_decoder_tpu.fst.fst import INF, Lattice
+from kaldi_decoder_tpu.utils.math import approx_equal_array
 
 NEG_CLAMP_WARN = -0.01  # lattice-simple-decoder.cc:287 warning threshold
 
@@ -224,19 +225,35 @@ def prune_lattice(
                     + lk.ac_cost
                     - nxt.alpha[lk.dst]
                 )
+                if np.any(np.isnan(slack)):
+                    raise FloatingPointError(
+                        "NaN link extra cost in lattice pruning (bad "
+                        "acoustic scores or graph weights)"
+                    )
                 le = nxt.extra[lk.dst] + slack
                 lk.keep = le <= lattice_beam
                 le = np.maximum(le, 0.0)  # negative-slack clamp (:286-291)
                 kept = lk.keep & np.isfinite(le)
                 np.minimum.at(base, lk.src[kept], le[kept])
 
-        # Intra-frame eps fixed point.
+        # Intra-frame eps fixed point.  Convergence test matches the
+        # reference: the final frame uses ApproxEqual at delta=1e-5
+        # (`lattice-simple-decoder.cc:505-514`), non-final frames iterate
+        # until exactly unchanged (FinalizeDecoding passes delta=0.0,
+        # `lattice-simple-decoder.cc:411-414` + `:290-293`).
         ek = eps_links[f]
         extra = base.copy()
         if len(ek.src):
             slack = (
                 toks.alpha[ek.src] + ek.graph_cost - toks.alpha[ek.dst]
             )
+            if np.any(np.isnan(slack)):
+                # NaN link cost: the reference asserts
+                # (`lattice-simple-decoder.cc:261-262`).
+                raise FloatingPointError(
+                    "NaN link extra cost in lattice pruning (bad acoustic "
+                    "scores or graph weights)"
+                )
             for _ in range(len(ek.src) + 1):
                 le = extra[ek.dst] + slack
                 ek.keep = le <= lattice_beam
@@ -244,14 +261,15 @@ def prune_lattice(
                 new_extra = base.copy()
                 kept = ek.keep & np.isfinite(le)
                 np.minimum.at(new_extra, ek.src[kept], le[kept])
-                if np.allclose(
-                    np.nan_to_num(new_extra, posinf=1e30),
-                    np.nan_to_num(extra, posinf=1e30),
-                    atol=1e-7,
-                ):
-                    extra = new_extra
-                    break
+                if f == L:
+                    converged = np.all(
+                        approx_equal_array(new_extra, extra, 1e-5)
+                    )
+                else:
+                    converged = np.array_equal(new_extra, extra)
                 extra = new_extra
+                if converged:
+                    break
         if f == L:
             # Final-frame tokens beyond the lattice beam die outright
             # (lattice-simple-decoder.cc:496-502).

@@ -86,7 +86,8 @@ def _declare(lib: ctypes.CDLL) -> None:
     ]
     lib.kd_shortest_path.restype = _i64
     lib.kd_shortest_path.argtypes = [
-        _i64, _i64, _i32p, _f32p, _i32p, _f32p, _i64, _i32p, _i64,
+        _i64, _i64, _i32p, _f32p, _f32p, _i32p, _f32p, _f32p, _i64,
+        _i32p, _i64,
     ]
 
 
@@ -295,19 +296,30 @@ def shortest_path_arrays(
     dst: np.ndarray,
     final_total: np.ndarray,
     start: int,
+    w_graph: Optional[np.ndarray] = None,
+    final_graph: Optional[np.ndarray] = None,
 ) -> Optional[np.ndarray]:
     """Best-path arc indices (forward order) over flat lattice arrays,
-    or None if no successful path.  Raises on cyclic input."""
+    or None if no successful path.  Raises on cyclic input.
+
+    ``w_graph``/``final_graph`` enable the LatticeWeight natural-order
+    tie-break (equal totals -> smaller graph cost wins)."""
     lib = get_lib()
     A = int(len(src))
     cap = max(A, 1)
     out = np.empty(cap, np.int32)
+    if w_graph is None:
+        w_graph = np.zeros(A, np.float32)
+    if final_graph is None:
+        final_graph = np.zeros(num_states, np.float32)
     n = lib.kd_shortest_path(
         num_states, A,
         np.ascontiguousarray(src, np.int32),
         np.ascontiguousarray(w_total, np.float32),
+        np.ascontiguousarray(w_graph, np.float32),
         np.ascontiguousarray(dst, np.int32),
         np.ascontiguousarray(final_total, np.float32),
+        np.ascontiguousarray(final_graph, np.float32),
         start, out, cap,
     )
     if n == -1:

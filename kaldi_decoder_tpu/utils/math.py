@@ -23,3 +23,19 @@ def approx_equal(a: float, b: float, relative_tolerance: float = 0.001) -> bool:
     if math.isinf(a) or math.isinf(b) or a != a or b != b:
         return False
     return abs(a - b) <= relative_tolerance * (abs(a) + abs(b))
+
+
+def approx_equal_array(a, b, relative_tolerance: float = 0.001):
+    """Vectorized ``approx_equal`` over numpy arrays (elementwise bool).
+
+    Exact equality (including inf == inf) passes; any NaN or one-sided inf
+    fails; otherwise the kaldi-math.h:36-44 relative test applies.
+    """
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    exact = a == b
+    finite = np.isfinite(a) & np.isfinite(b)
+    rel = np.abs(a - b) <= relative_tolerance * (np.abs(a) + np.abs(b))
+    return exact | (finite & rel)

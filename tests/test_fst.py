@@ -107,6 +107,86 @@ class TestIO:
         f = random_fst(25, 4, np.random.default_rng(seed))
         assert fst_from_text(fst_to_text(f)) == f
 
+    def test_const_fst_roundtrip(self, tmp_path):
+        """text -> vector -> const path: ConstFst binaries must read back
+        identically via BOTH the native parser and the Python fallback
+        (ref binds ConstFst ctors, python/csrc/simple-decoder.cc:16-21)."""
+        from kaldi_decoder_tpu.fst import write_const_fst
+        from kaldi_decoder_tpu.fst.io import _read_fst_body
+
+        for seed in (0, 3):
+            f = random_fst(17, 6, np.random.default_rng(seed))
+            p = tmp_path / f"c{seed}.fst"
+            write_const_fst(f, p)
+            g = read_fst(p)  # native parser when built
+            assert fst_to_text(g) == fst_to_text(f)
+            with open(p, "rb") as fh:  # pure-Python parser
+                h = _read_fst_body(fh)
+            assert fst_to_text(h) == fst_to_text(f)
+
+    def test_const_fst_roundtrip_lattice(self, tmp_path):
+        from kaldi_decoder_tpu.fst import write_const_fst
+        from kaldi_decoder_tpu.fst.io import _read_fst_body
+
+        lat = Lattice()
+        s = [lat.add_state() for _ in range(3)]
+        lat.set_start(s[0])
+        lat.add_arc(s[0], 1, 2, (0.5, 1.5), s[1])
+        lat.add_arc(s[1], 0, 3, (0.25, 0.0), s[2])
+        lat.set_final(s[2], (1.0, 2.0))
+        p = tmp_path / "lat.fst"
+        write_const_fst(lat, p)
+        g = read_fst(p)
+        assert isinstance(g, Lattice)
+        assert fst_to_text(g) == fst_to_text(lat)
+        with open(p, "rb") as fh:
+            h = _read_fst_body(fh)
+        assert fst_to_text(h) == fst_to_text(lat)
+
+    def test_const_fst_aligned_v1(self, tmp_path):
+        """File version 1 pads the state/arc arrays to 16-byte alignment
+        (openfst MappedFile) — both parsers must skip the padding."""
+        import io as _io
+        import struct
+
+        from kaldi_decoder_tpu.fst.io import FST_MAGIC, _read_fst_body
+        from kaldi_decoder_tpu import native
+
+        f = random_fst(9, 5, np.random.default_rng(1))
+        arrays = f.to_arrays()
+        row_ptr = np.asarray(arrays["row_ptr"], np.int64)
+        S, E = f.num_states, int(row_ptr[-1])
+        buf = _io.BytesIO()
+        buf.write(struct.pack("<i", FST_MAGIC))
+        for sname in (b"const", b"standard"):
+            buf.write(struct.pack("<i", len(sname)))
+            buf.write(sname)
+        buf.write(struct.pack("<iiQqqq", 1, 0, 1, f.start, S, E))
+
+        def pad16():
+            buf.write(b"\0" * ((16 - (buf.tell() & 15)) & 15))
+
+        pad16()
+        fin = np.asarray(arrays["final"], np.float32)
+        narcs = np.diff(row_ptr)
+        for s in range(S):
+            buf.write(struct.pack("<fIIII", float(fin[s]),
+                                  int(row_ptr[s]), int(narcs[s]), 0, 0))
+        pad16()
+        il, ol = arrays["ilabel"], arrays["olabel"]
+        w, ns = arrays["weight"], arrays["nextstate"]
+        for a in range(E):
+            buf.write(struct.pack("<iifi", int(il[a]), int(ol[a]),
+                                  float(w[a]), int(ns[a])))
+        p = tmp_path / "v1.fst"
+        p.write_bytes(buf.getvalue())
+        with open(p, "rb") as fh:
+            g = _read_fst_body(fh)
+        assert fst_to_text(g) == fst_to_text(f)
+        if native.available():
+            h = read_fst(p)
+            assert fst_to_text(h) == fst_to_text(f)
+
     def test_text_parse_defaults(self):
         # Arc without weight -> One; final without weight -> One.
         f = fst_from_text("0 1 5 6\n1\n")
@@ -216,6 +296,41 @@ class TestOps:
         s0 = f.add_state()
         f.set_start(s0)  # no final state
         assert shortest_path(f).num_states == 0
+
+    def test_lattice_weight_tiebreak_plus(self):
+        """LatticeWeight natural order: equal totals -> smaller value1
+        (graph cost) wins Plus (fstext/lattice-weight.h Compare, used via
+        faster-decoder.h:20)."""
+        from kaldi_decoder_tpu.fst.fst import LatticeWeight as LS
+
+        assert LS.plus((1.0, 3.0), (2.0, 2.0)) == (1.0, 3.0)
+        assert LS.plus((2.0, 2.0), (1.0, 3.0)) == (1.0, 3.0)
+        # Full tie: first argument wins (Compare == 0 -> w1).
+        assert LS.plus((2.0, 2.0), (2.0, 2.0)) == (2.0, 2.0)
+        # Different totals: total rules regardless of components.
+        assert LS.plus((0.0, 5.0), (4.0, 0.0)) == (4.0, 0.0)
+
+    @pytest.mark.parametrize("native_on", [True, False])
+    def test_shortest_path_lattice_tiebreak(self, native_on, monkeypatch):
+        """Two paths with identical total cost: the one with the smaller
+        graph-cost component must win, in both the native and the pure
+        Python shortest path."""
+        if not native_on:
+            from kaldi_decoder_tpu import native
+
+            monkeypatch.setattr(native, "available", lambda: False)
+        lat = Lattice()
+        s = [lat.add_state() for _ in range(4)]
+        lat.set_start(s[0])
+        # Path A (labels 1,2): graph 3.0 + acoustic 1.0 = 4.0 total.
+        lat.add_arc(s[0], 1, 1, (2.0, 0.5), s[1])
+        lat.add_arc(s[1], 2, 2, (1.0, 0.5), s[3])
+        # Path B (labels 3,4): graph 1.0 + acoustic 3.0 = 4.0 total.
+        lat.add_arc(s[0], 3, 3, (0.5, 1.5), s[2])
+        lat.add_arc(s[2], 4, 4, (0.5, 1.5), s[3])
+        lat.set_final(s[3], (0.0, 0.0))
+        best = shortest_path(lat)
+        assert path_labels(best) == [3, 4]
 
 
 class TestCsr:
