@@ -28,6 +28,16 @@ sys.path.insert(0, "/root/repo")
 
 import os
 
+# Persistent XLA compilation cache: repeat bench invocations (driver runs,
+# tuning sweeps) skip the multi-minute first compile.
+try:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception as e:  # pragma: no cover - cache is best-effort
+    print(f"compilation cache unavailable: {e}", file=sys.stderr)
+
 SEED = 0
 V = 500
 S = 200_000

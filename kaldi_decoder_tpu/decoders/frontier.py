@@ -46,7 +46,7 @@ import jax
 import jax.numpy as jnp
 
 from kaldi_decoder_tpu.fst.csr import CsrGraph
-from kaldi_decoder_tpu.fst.pack import EM_FIELDS, EPS_FIELDS, PackedGraph
+from kaldi_decoder_tpu.fst.pack import EM_FIELDS, EPS_FIELDS, FLAT_GROUP, PackedGraph
 from kaldi_decoder_tpu.ops.cutoff import get_cutoff
 from kaldi_decoder_tpu.ops.segment import dedup_select, map_lanes, score_lookup
 
@@ -84,6 +84,14 @@ class FrontierConfig:
     eps_iters: int = 0
     # Acoustic lookup: one-hot MXU matmul (fast on TPU) vs plain gather.
     score_onehot: bool = True
+    # Which capacity fields the caller set explicitly.  None == hand-built
+    # config (every field intentional); config_for_graph records the
+    # caller-passed keys so capacity re-derivation for a transformed
+    # (e.g. eps-folded) device graph preserves explicit tuning.  Excluded
+    # from eq/hash: it never changes the compiled program.
+    explicit: Optional[Tuple[str, ...]] = dataclasses.field(
+        default=None, compare=False, repr=False
+    )
 
     def validate(self) -> None:
         if self.beam <= 0:
@@ -99,8 +107,6 @@ class FrontierConfig:
 
     @property
     def num_candidates(self) -> int:
-        from kaldi_decoder_tpu.fst.pack import FLAT_GROUP
-
         units = -(-self.rem_budget // FLAT_GROUP)
         return self.frontier_size * self.block_width + units * FLAT_GROUP
 
@@ -114,6 +120,8 @@ def config_for_graph(graph: CsrGraph, base: Optional[FrontierConfig] = None, **k
     import numpy as np
 
     cfg = base or FrontierConfig()
+    kw.pop("explicit", None)
+    explicit = tuple(sorted(kw))
     kw.setdefault("beam", cfg.beam)
     kw.setdefault("max_active", cfg.max_active)
     kw.setdefault("min_active", cfg.min_active)
@@ -163,7 +171,7 @@ def config_for_graph(graph: CsrGraph, base: Optional[FrontierConfig] = None, **k
         kw["eps_block_width"] = 1
         kw["eps_rem_budget"] = 8
         kw["eps_iters"] = 0
-    out = FrontierConfig(**kw)
+    out = FrontierConfig(explicit=explicit, **kw)
     out.validate()
     return out
 

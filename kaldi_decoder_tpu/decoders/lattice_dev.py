@@ -39,6 +39,7 @@ from kaldi_decoder_tpu.decoders.frontier import (
     expand_eps,
     start_state,
 )
+from kaldi_decoder_tpu.decoders.viterbi import SCAN_UNROLL
 from kaldi_decoder_tpu.fst.csr import CsrGraph
 from kaldi_decoder_tpu.fst.pack import PackedGraph
 from kaldi_decoder_tpu.ops.cutoff import get_cutoff
@@ -384,8 +385,7 @@ def _build_lattice_chunk_fn_cached(
 
         ts = jnp.arange(scores_tm.shape[0], dtype=jnp.int32)
         stf, outs = jax.lax.scan(
-            body, st0, (scores_tm, ts),
-            unroll=int(__import__("os").environ.get("KDTPU_SCAN_UNROLL", "1")),
+            body, st0, (scores_tm, ts), unroll=SCAN_UNROLL
         )
         return stf, outs
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -41,6 +42,11 @@ from kaldi_decoder_tpu.fst.ops import remove_eps_local
 from kaldi_decoder_tpu.utils.logging import DecodeStats, get_logger
 
 logger = get_logger()
+
+# Frame-scan unroll factor, read ONCE at import (it changes the compiled
+# program, so a mid-session env change must not silently alter cached
+# builders).  lattice_dev.py shares this constant.
+SCAN_UNROLL = int(os.environ.get("KDTPU_SCAN_UNROLL", "1"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -85,8 +91,7 @@ def _build_chunk_fn_cached(S: int, cfg: FrontierConfig, mesh, data_axis: str):
 
         ts = jnp.arange(T, dtype=jnp.int32)
         stf, outs = jax.lax.scan(
-            body, st0, (scores_tm, ts),
-            unroll=int(__import__("os").environ.get("KDTPU_SCAN_UNROLL", "1")),
+            body, st0, (scores_tm, ts), unroll=SCAN_UNROLL
         )
         return stf, outs
 
@@ -144,22 +149,50 @@ def _maybe_fold(graph: CsrGraph, fold: bool):
     return fold_eps(graph)
 
 
+_CAPACITY_FIELDS = (
+    "frontier_size",
+    "block_width",
+    "rem_budget",
+    "eps_block_width",
+    "eps_rem_budget",
+    "eps_iters",
+)
+
+
 def _cfg_for_device_graph(dev_graph: CsrGraph, config: Optional[FrontierConfig]):
-    """Config sized for the (possibly folded) device graph, keeping the
-    caller's reference-semantic fields."""
+    """Config sized for the (possibly eps-folded) device graph.
+
+    Reference-semantic fields (beam/max_active/...) always come from the
+    caller.  Capacity fields the caller set *explicitly* (recorded by
+    ``config_for_graph``, or all of them for a hand-built config) are kept;
+    only unset capacities are re-derived for the transformed graph.  The
+    eps capacities are forced to match the device graph's actual eps
+    structure either way (a folded graph has none; a cyclic-eps graph
+    needs iterations even if the caller's config predates folding).
+    """
     if config is None:
         return config_for_graph(dev_graph)
-    if not dev_graph.has_eps and config.eps_iters == 0:
-        # Capacities may have been derived for this graph already.
-        pass
+    keep = _CAPACITY_FIELDS if config.explicit is None else tuple(
+        f for f in _CAPACITY_FIELDS if f in config.explicit
+    )
+    kw = {f: getattr(config, f) for f in keep}
+    if not dev_graph.has_eps:
+        # Eps fields are meaningless on an eps-free device graph; let
+        # config_for_graph's eps-free branch zero them out.
+        for f in ("eps_block_width", "eps_rem_budget", "eps_iters"):
+            kw.pop(f, None)
+    elif config.eps_iters == 0:
+        # Config was built for an eps-free graph; re-derive eps fields.
+        for f in ("eps_block_width", "eps_rem_budget", "eps_iters"):
+            kw.pop(f, None)
     return config_for_graph(
         dev_graph,
         beam=config.beam,
         max_active=config.max_active,
         min_active=config.min_active,
         beam_delta=config.beam_delta,
-        frontier_size=config.frontier_size,
         score_onehot=config.score_onehot,
+        **kw,
     )
 
 
