@@ -164,6 +164,7 @@ class _StreamingViterbi:
                 np.asarray(outs.best_cost)[:n_new],
                 np.asarray(outs.cutoff)[:n_new],
                 np.asarray(outs.overflow)[:n_new],
+                np.asarray(outs.saturated)[:n_new],
             )
         )
         self._num_frames_decoded = target
@@ -218,6 +219,7 @@ class _StreamingViterbi:
                 np.zeros((0, 1), np.float32),
                 np.zeros((0, 1), np.float32),
                 np.zeros((0, 1), bool),
+                np.zeros((0, 1), bool),
             ]
         return ViterbiResult(
             graph=self._graph,
@@ -234,6 +236,7 @@ class _StreamingViterbi:
             best_costs=stats[1],
             cutoffs=stats[2],
             overflows=stats[3],
+            saturations=stats[4],
         )
 
 

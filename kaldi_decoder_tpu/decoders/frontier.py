@@ -319,6 +319,10 @@ class StepOut(NamedTuple):
     best_cost: jnp.ndarray  # () float32, absolute
     cutoff: jnp.ndarray  # () float32, absolute cutoff used for expansion
     overflow: jnp.ndarray  # () bool — any lane budget overflow this frame
+    # More distinct in-beam states than frontier slots: the frontier kept
+    # only its K cheapest, a hidden max_active=K the reference does not
+    # have (beam-only decoders silently diverge when this fires).
+    saturated: jnp.ndarray  # () bool
 
 
 def _identity_bp(k: int) -> jnp.ndarray:
@@ -342,7 +346,7 @@ def eps_iteration(
     pg: PackedGraph,
     cfg: FrontierConfig,
     num_states: int,
-) -> Tuple[StepState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+):
     """One epsilon relaxation: expand eps arcs of every live token, merge
     with the incumbent frontier keeping per-state minima.
 
@@ -375,7 +379,8 @@ def eps_iteration(
         axis=-1,
     ).astype(jnp.int32)
     changed = jnp.any(ok & (bp[:, 1] != NO_ARC))
-    return StepState(sel.states, sel.costs, st.base), bp, changed, cand.overflow
+    sat = sel.num_unique > K
+    return StepState(sel.states, sel.costs, st.base), bp, changed, cand.overflow, sat
 
 
 def eps_closure(
@@ -384,29 +389,32 @@ def eps_closure(
     pg: PackedGraph,
     cfg: FrontierConfig,
     num_states: int,
-) -> Tuple[StepState, jnp.ndarray, jnp.ndarray]:
+):
     """Run up to ``cfg.eps_iters`` epsilon relaxations with early-out.
 
     Iterations after convergence produce identity backpointers (the host
-    backtrace skips them).
+    backtrace skips them).  Returns (state, bps, overflow, saturated).
     """
     K, D = cfg.frontier_size, cfg.eps_iters
     ident = _identity_bp(K)
     if D == 0:
-        return st, jnp.zeros((0, K, 2), jnp.int32), jnp.bool_(False)
+        return st, jnp.zeros((0, K, 2), jnp.int32), jnp.bool_(False), jnp.bool_(False)
 
     def body(carry, _):
-        cur, stop, ovf = carry
-        nxt, bp, changed, o = eps_iteration(cur, cutoff_rel, pg, cfg, num_states)
+        cur, stop, ovf, sat = carry
+        nxt, bp, changed, o, s = eps_iteration(cur, cutoff_rel, pg, cfg, num_states)
         nxt = jax.tree.map(lambda new, old: jnp.where(stop, old, new), nxt, cur)
         bp = jnp.where(stop, ident, bp)
         new_stop = stop | ~changed
-        return (nxt, new_stop, ovf | (~stop & o)), bp
+        return (nxt, new_stop, ovf | (~stop & o), sat | (~stop & s)), bp
 
-    (st, _, ovf), bps = jax.lax.scan(
-        body, (st, jnp.bool_(False), jnp.bool_(False)), None, length=D
+    (st, _, ovf, sat), bps = jax.lax.scan(
+        body,
+        (st, jnp.bool_(False), jnp.bool_(False), jnp.bool_(False)),
+        None,
+        length=D,
     )
-    return st, bps, ovf
+    return st, bps, ovf, sat
 
 
 def eps_closure_batched(
@@ -426,36 +434,39 @@ def eps_closure_batched(
     the epsilon cost (the reference's worklist just empties,
     `faster-decoder.cc:59-119`).
 
-    Returns (state, bp (D, B, K, 2) identity-padded, overflow (B,)).
+    Returns (state, bp (D, B, K, 2) identity-padded, overflow (B,),
+    saturated (B,)).
     """
     K, D = cfg.frontier_size, cfg.eps_iters
     B = st.states.shape[0]
     ident = jnp.broadcast_to(_identity_bp(K), (B, K, 2))
     if D == 0:
-        return st, jnp.zeros((0, B, K, 2), jnp.int32), jnp.zeros((B,), bool)
+        z = jnp.zeros((B,), bool)
+        return st, jnp.zeros((0, B, K, 2), jnp.int32), z, z
     bps0 = jnp.broadcast_to(ident[None], (D, B, K, 2)).astype(jnp.int32)
 
     def cond(carry):
-        it, _, go, _, _ = carry
+        it, _, go, _, _, _ = carry
         return (it < D) & go
 
     def body(carry):
-        it, cur, _, ovf, bps = carry
-        nxt, bp, changed, o = jax.vmap(
-            lambda s, c: eps_iteration(s, c, pg, cfg, num_states)
+        it, cur, _, ovf, sat, bps = carry
+        nxt, bp, changed, o, s = jax.vmap(
+            lambda st_, c: eps_iteration(st_, c, pg, cfg, num_states)
         )(cur, cutoff_rel)
         bps = jax.lax.dynamic_update_slice(
             bps, bp[None].astype(jnp.int32), (it, 0, 0, 0)
         )
         go = jnp.any(changed & row_active)
-        return it + 1, nxt, go, ovf | (o & row_active), bps
+        return it + 1, nxt, go, ovf | (o & row_active), sat | (s & row_active), bps
 
-    _, stf, _, ovf, bps = jax.lax.while_loop(
+    z = jnp.zeros((B,), bool)
+    _, stf, _, ovf, sat, bps = jax.lax.while_loop(
         cond,
         body,
-        (jnp.int32(0), st, jnp.bool_(True), jnp.zeros((B,), bool), bps0),
+        (jnp.int32(0), st, jnp.bool_(True), z, z, bps0),
     )
-    return stf, bps, ovf
+    return stf, bps, ovf, sat
 
 
 def init_closure(
@@ -463,7 +474,7 @@ def init_closure(
 ) -> Tuple[StepState, jnp.ndarray]:
     """InitDecoding's unbounded eps closure (`faster-decoder.cc:53`)."""
     st = start_state(start, cfg)
-    st, bp, _ = eps_closure(st, jnp.float32(INF), pg, cfg, num_states)
+    st, bp, _, _ = eps_closure(st, jnp.float32(INF), pg, cfg, num_states)
     return st, bp
 
 
@@ -476,7 +487,8 @@ def frame_emit_stage(
 ):
     """Per-utterance emitting stage: cutoff, expansion, dedup, bp.
 
-    Returns (mid_state, bp_emit, next_cutoff_rel, cutoff_abs, overflow).
+    Returns (mid_state, bp_emit, next_cutoff_rel, cutoff_abs, overflow,
+    saturated).
     """
     K = cfg.frontier_size
     cut = get_cutoff(
@@ -505,7 +517,8 @@ def frame_emit_stage(
         axis=-1,
     ).astype(jnp.int32)
     mid = StepState(sel.states, sel.costs, st.base)
-    return mid, bp_emit, next_cutoff, st.base + cut.cutoff, cand.overflow
+    sat = sel.num_unique > K
+    return mid, bp_emit, next_cutoff, st.base + cut.cutoff, cand.overflow, sat
 
 
 def _frame_finish(st, mid, frame_active, cfg: FrontierConfig):
@@ -530,12 +543,14 @@ def frame_step(
     """Process one frame: emitting expansion + epsilon closure + rebase."""
     K = cfg.frontier_size
 
-    mid, bp_emit, next_cutoff, cutoff_abs, em_ovf = frame_emit_stage(
+    mid, bp_emit, next_cutoff, cutoff_abs, em_ovf, em_sat = frame_emit_stage(
         st, scores_t, pg, cfg, num_states
     )
     # Epsilon closure under the emitting-stage cutoff
     # (ProcessNonemitting(weight_cutoff), faster-decoder.cc:149-151).
-    mid, bp_eps, eps_ovf = eps_closure(mid, next_cutoff, pg, cfg, num_states)
+    mid, bp_eps, eps_ovf, eps_sat = eps_closure(
+        mid, next_cutoff, pg, cfg, num_states
+    )
 
     final_state, m_safe = _frame_finish(st, mid, frame_active, cfg)
 
@@ -557,6 +572,7 @@ def frame_step(
         ),
         cutoff=cutoff_abs,
         overflow=frame_active & (em_ovf | eps_ovf),
+        saturated=frame_active & (em_sat | eps_sat),
     )
     return final_state, out
 
@@ -575,10 +591,10 @@ def frame_step_batched(
     K = cfg.frontier_size
     B = st.states.shape[0]
 
-    mid, bp_emit, next_cutoff, cutoff_abs, em_ovf = jax.vmap(
+    mid, bp_emit, next_cutoff, cutoff_abs, em_ovf, em_sat = jax.vmap(
         lambda s, sc: frame_emit_stage(s, sc, pg, cfg, num_states)
     )(st, scores_t)
-    mid, bps, eps_ovf = eps_closure_batched(
+    mid, bps, eps_ovf, eps_sat = eps_closure_batched(
         mid, next_cutoff, frame_active, pg, cfg, num_states
     )
     bp_eps = jnp.moveaxis(bps, 0, 1)  # (B, D, K, 2)
@@ -608,5 +624,6 @@ def frame_step_batched(
         ),
         cutoff=cutoff_abs,
         overflow=fa & (em_ovf | eps_ovf),
+        saturated=fa & (em_sat | eps_sat),
     )
     return final_state, out

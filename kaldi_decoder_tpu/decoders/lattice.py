@@ -156,6 +156,7 @@ class LatticeResult:
     num_active: np.ndarray  # (T, B)
     cutoffs: np.ndarray  # (T, B)
     overflows: np.ndarray  # (T, B)
+    saturations: np.ndarray  # (T, B) bool — frontier capacity hit
     fold: object = None  # Optional[FoldedGraph] — records carry folded ids
 
     def __post_init__(self):
@@ -235,6 +236,7 @@ class LatticeResult:
             active_per_frame=self.num_active[:L, b],
             cutoff_per_frame=self.cutoffs[:L, b],
             arc_budget_overflows=int(np.sum(self.overflows[:L, b])),
+            frontier_saturated_frames=int(np.sum(self.saturations[:L, b])),
         )
 
 
@@ -354,6 +356,7 @@ class BatchedLatticeDecoder:
             num_active=np.asarray(outs.num_active),
             cutoffs=np.asarray(outs.cutoff),
             overflows=np.asarray(outs.overflow),
+            saturations=np.asarray(outs.saturated),
             fold=self.fold,
         )
 
@@ -446,6 +449,7 @@ class _StreamingLattice:
                 "num_active": np.asarray(outs.num_active)[:n_new],
                 "cutoffs": np.asarray(outs.cutoff)[:n_new],
                 "overflows": np.asarray(outs.overflow)[:n_new],
+                "saturations": np.asarray(outs.saturated)[:n_new],
             }
         )
         self._result_cache = None
@@ -484,6 +488,7 @@ class _StreamingLattice:
             fs, fcost = cat("frame_states"), cat("frame_costs")
             em, ep = cat("em_records"), cat("eps_records")
             na, co, ov = cat("num_active"), cat("cutoffs"), cat("overflows")
+            sa = cat("saturations")
         else:
             scores = np.zeros((1, 0, 1), np.float32)
             fs = np.zeros((0, 1, K), np.int32)
@@ -493,6 +498,7 @@ class _StreamingLattice:
             na = np.zeros((0, 1), np.int32)
             co = np.zeros((0, 1), np.float32)
             ov = np.zeros((0, 1), bool)
+            sa = np.zeros((0, 1), bool)
         self._result_cache = LatticeResult(
             graph=self._graph,
             cfg=self._dev_cfg,
@@ -509,6 +515,7 @@ class _StreamingLattice:
             num_active=na,
             cutoffs=co,
             overflows=ov,
+            saturations=sa,
         )
         return self._result_cache
 

@@ -105,6 +105,9 @@ class LatticeStepOut(NamedTuple):
     best_cost: jnp.ndarray
     cutoff: jnp.ndarray
     overflow: jnp.ndarray
+    # More distinct in-beam states than frontier slots this frame (hidden
+    # max_active=K divergence; see frontier.StepOut.saturated).
+    saturated: jnp.ndarray
 
 
 def eps_iteration_rec(
@@ -138,7 +141,8 @@ def eps_iteration_rec(
     # changed: any selected slot won via a fresh candidate (index >= K).
     changed = jnp.any((sel.cand_idx >= K) & jnp.isfinite(sel.costs))
     ovf = cand.overflow | rec_ovf
-    return StepState(sel.states, sel.costs, st.base), rec, changed, ovf
+    sat = sel.num_unique > K
+    return StepState(sel.states, sel.costs, st.base), rec, changed, ovf, sat
 
 
 def eps_closure_rec(
@@ -151,22 +155,24 @@ def eps_closure_rec(
 ):
     D = cfg.eps_iters
     if D == 0:
-        return st, jnp.full((0, r_eps, 2), -1, jnp.int32), jnp.bool_(False)
+        f = jnp.bool_(False)
+        return st, jnp.full((0, r_eps, 2), -1, jnp.int32), f, f
     empty = jnp.full((r_eps, 2), -1, jnp.int32)
 
     def body(carry, _):
-        cur, stop, ovf = carry
-        nxt, rec, changed, o = eps_iteration_rec(
+        cur, stop, ovf, sat = carry
+        nxt, rec, changed, o, s = eps_iteration_rec(
             cur, cutoff_rel, pg, cfg, num_states, r_eps
         )
         nxt = jax.tree.map(lambda new, old: jnp.where(stop, old, new), nxt, cur)
         rec = jnp.where(stop, empty, rec)
-        return (nxt, stop | ~changed, ovf | (~stop & o)), rec
+        return (nxt, stop | ~changed, ovf | (~stop & o), sat | (~stop & s)), rec
 
-    (st, _, ovf), recs = jax.lax.scan(
-        body, (st, jnp.bool_(False), jnp.bool_(False)), None, length=D
+    f = jnp.bool_(False)
+    (st, _, ovf, sat), recs = jax.lax.scan(
+        body, (st, f, f, f), None, length=D
     )
-    return st, recs, ovf
+    return st, recs, ovf, sat
 
 
 def lattice_emit_stage(
@@ -205,7 +211,8 @@ def lattice_emit_stage(
     ).astype(jnp.int32)
     mid = StepState(sel.states, sel.costs, st.base)
     ovf = cand.overflow | sel.rec_overflow
-    return mid, em_rec, next_cutoff, st.base + cut.cutoff, ovf
+    sat = sel.num_unique > K
+    return mid, em_rec, next_cutoff, st.base + cut.cutoff, ovf, sat
 
 
 def eps_closure_rec_batched(
@@ -222,34 +229,34 @@ def eps_closure_rec_batched(
     D = fc.eps_iters
     B = st.states.shape[0]
     if D == 0:
-        return (
-            st,
-            jnp.full((0, B, r_eps, 2), -1, jnp.int32),
-            jnp.zeros((B,), bool),
-        )
+        z = jnp.zeros((B,), bool)
+        return st, jnp.full((0, B, r_eps, 2), -1, jnp.int32), z, z
     recs0 = jnp.full((D, B, r_eps, 2), -1, jnp.int32)
 
     def cond(carry):
-        it, _, go, _, _ = carry
+        it, _, go, _, _, _ = carry
         return (it < D) & go
 
     def body(carry):
-        it, cur, _, ovf, recs = carry
-        nxt, rec, changed, o = jax.vmap(
-            lambda s, c: eps_iteration_rec(s, c, pg, fc, num_states, r_eps)
+        it, cur, _, ovf, sat, recs = carry
+        nxt, rec, changed, o, s = jax.vmap(
+            lambda st_, c: eps_iteration_rec(st_, c, pg, fc, num_states, r_eps)
         )(cur, cutoff_rel)
         recs = jax.lax.dynamic_update_slice(
             recs, rec[None].astype(jnp.int32), (it, 0, 0, 0)
         )
         go = jnp.any(changed & row_active)
-        return it + 1, nxt, go, ovf | (o & row_active), recs
+        return (
+            it + 1, nxt, go, ovf | (o & row_active), sat | (s & row_active), recs
+        )
 
-    _, stf, _, ovf, recs = jax.lax.while_loop(
+    z = jnp.zeros((B,), bool)
+    _, stf, _, ovf, sat, recs = jax.lax.while_loop(
         cond,
         body,
-        (jnp.int32(0), st, jnp.bool_(True), jnp.zeros((B,), bool), recs0),
+        (jnp.int32(0), st, jnp.bool_(True), z, z, recs0),
     )
-    return stf, recs, ovf
+    return stf, recs, ovf, sat
 
 
 def lattice_frame_step(
@@ -264,10 +271,10 @@ def lattice_frame_step(
     record-emitting epsilon closure, then rebase."""
     fc = cfg.frontier
 
-    mid, em_rec, next_cutoff, cutoff_abs, em_ovf = lattice_emit_stage(
+    mid, em_rec, next_cutoff, cutoff_abs, em_ovf, em_sat = lattice_emit_stage(
         st, scores_t, pg, fc, num_states, cfg.em_records
     )
-    mid, eps_recs, eps_ovf = eps_closure_rec(
+    mid, eps_recs, eps_ovf, eps_sat = eps_closure_rec(
         mid, next_cutoff, pg, fc, num_states, cfg.eps_records
     )
 
@@ -289,6 +296,7 @@ def lattice_frame_step(
         best_cost=final_state.base,
         cutoff=cutoff_abs,
         overflow=frame_active & (em_ovf | eps_ovf),
+        saturated=frame_active & (em_sat | eps_sat),
     )
     return final_state, out
 
@@ -306,12 +314,12 @@ def lattice_frame_step_batched(
     fc = cfg.frontier
     B = st.states.shape[0]
 
-    mid, em_rec, next_cutoff, cutoff_abs, em_ovf = jax.vmap(
+    mid, em_rec, next_cutoff, cutoff_abs, em_ovf, em_sat = jax.vmap(
         lambda s, sc: lattice_emit_stage(
             s, sc, pg, fc, num_states, cfg.em_records
         )
     )(st, scores_t)
-    mid, recs, eps_ovf = eps_closure_rec_batched(
+    mid, recs, eps_ovf, eps_sat = eps_closure_rec_batched(
         mid, next_cutoff, frame_active, pg, fc, num_states, cfg.eps_records
     )
     eps_recs = jnp.moveaxis(recs, 0, 1)  # (B, D, R, 2)
@@ -342,6 +350,7 @@ def lattice_frame_step_batched(
         best_cost=final_state.base,
         cutoff=cutoff_abs,
         overflow=fa & (em_ovf | eps_ovf),
+        saturated=fa & (em_sat | eps_sat),
     )
     return final_state, out
 
@@ -356,7 +365,7 @@ def init_closure_rec(pg, start: int, num_states: int, cfg: LatticeDevConfig):
 def _build_init_rec_fn(S: int, cfg: LatticeDevConfig):
     def init(pg, start):
         st = start_state(start, cfg.frontier)
-        st, recs, _ = eps_closure_rec(
+        st, recs, _, _ = eps_closure_rec(
             st, jnp.float32(INF), pg, cfg.frontier, S, cfg.eps_records
         )
         return st, recs

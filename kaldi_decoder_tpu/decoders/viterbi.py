@@ -107,14 +107,7 @@ def _build_chunk_fn_cached(S: int, cfg: FrontierConfig, mesh, data_axis: str):
         in_shardings=(repl, batch, batch, StepState(batch, batch, batch)),
         out_shardings=(
             StepState(batch, batch, batch),
-            StepOut(
-                bp_emit=time_batch,
-                bp_eps=time_batch,
-                num_active=time_batch,
-                best_cost=time_batch,
-                cutoff=time_batch,
-                overflow=time_batch,
-            ),
+            StepOut(*([time_batch] * len(StepOut._fields))),
         ),
     )
 
@@ -246,6 +239,7 @@ class ViterbiResult:
     best_costs: np.ndarray  # (T, B) absolute best cost per frame
     cutoffs: np.ndarray  # (T, B)
     overflows: np.ndarray  # (T, B) bool
+    saturations: np.ndarray  # (T, B) bool — frontier capacity hit
     fold: object = None  # Optional[FoldedGraph]
 
     @property
@@ -409,6 +403,7 @@ class ViterbiResult:
             best_cost_per_frame=self.best_costs[:L, b],
             cutoff_per_frame=self.cutoffs[:L, b],
             arc_budget_overflows=int(np.sum(self.overflows[:L, b])),
+            frontier_saturated_frames=int(np.sum(self.saturations[:L, b])),
         )
 
 
@@ -500,4 +495,5 @@ class BatchedViterbiDecoder:
             best_costs=np.asarray(outs.best_cost),
             cutoffs=np.asarray(outs.cutoff),
             overflows=np.asarray(outs.overflow),
+            saturations=np.asarray(outs.saturated),
         )

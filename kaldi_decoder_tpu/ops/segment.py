@@ -69,12 +69,17 @@ class Selection(NamedTuple):
     states: jnp.ndarray  # (K,) int32 — new frontier states (sorted by cost)
     costs: jnp.ndarray  # (K,) float32 — +inf for empty slots
     cand_idx: jnp.ndarray  # (K,) int32 — winning candidate index (into inputs)
+    # True number of distinct in-beam states (may exceed K: the frontier
+    # then silently capped the beam at its K cheapest — a capacity
+    # semantics divergence from the reference, which has no such limit).
+    num_unique: jnp.ndarray  # () int32
 
 
 class SelectionRec(NamedTuple):
     states: jnp.ndarray
     costs: jnp.ndarray
     cand_idx: jnp.ndarray
+    num_unique: jnp.ndarray
     # Record compaction riding the same state-sort: candidate indices of
     # ALL valid candidates, packed to the front (state-grouped order),
     # -1 padded.  The ForwardLink analogue comes for free.
@@ -128,6 +133,7 @@ def _dedup_core(cand_state, cand_cost, k, num_states):
         states=jnp.where(live, s2[pos], 0).astype(jnp.int32),
         costs=costs,
         cand_idx=jnp.where(live, imin[pos], -1).astype(jnp.int32),
+        num_unique=jnp.sum(jnp.isfinite(lcost)).astype(jnp.int32),
     )
     num_valid = (n - jnp.sum(invalid)).astype(jnp.int32)
     return sel, i2, num_valid
@@ -183,6 +189,7 @@ def dedup_select_rec(
         states=sel.states,
         costs=sel.costs,
         cand_idx=sel.cand_idx,
+        num_unique=sel.num_unique,
         rec_idx=rec_idx,
         rec_overflow=overflow,
     )

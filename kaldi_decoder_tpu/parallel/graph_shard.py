@@ -338,7 +338,8 @@ def _sharded_eps_iteration(st, cutoff_rel, pg, cfg: ShardConfig, axis, my_base, 
     changed_local = jnp.any(ok & (bp[..., 1] != NO_ARC))
     changed = jax.lax.pmax(changed_local.astype(jnp.int32), axis) > 0
     ovf = jnp.any(rt.overflow) | cand.overflow.any()
-    return StepState(sel.states, sel.costs, st.base), bp, changed, ovf
+    sat = jnp.any(sel.num_unique > K)
+    return StepState(sel.states, sel.costs, st.base), bp, changed, ovf, sat
 
 
 def _sharded_eps_closure(st, cutoff_rel, pg, cfg, axis, my_base, eps_off):
@@ -347,21 +348,23 @@ def _sharded_eps_closure(st, cutoff_rel, pg, cfg, axis, my_base, eps_off):
     B = st.states.shape[0]
     ident = jnp.broadcast_to(_identity_bp_g(K, my_base), (B, K, 2))
     if D == 0:
-        return st, jnp.zeros((0, B, K, 2), jnp.int32), jnp.bool_(False)
+        f = jnp.bool_(False)
+        return st, jnp.zeros((0, B, K, 2), jnp.int32), f, f
 
     def body(carry, _):
-        cur, stop, ovf = carry
-        nxt, bp, changed, o = _sharded_eps_iteration(
+        cur, stop, ovf, sat = carry
+        nxt, bp, changed, o, s = _sharded_eps_iteration(
             cur, cutoff_rel, pg, cfg, axis, my_base, eps_off
         )
         nxt = jax.tree.map(lambda new, old: jnp.where(stop, old, new), nxt, cur)
         bp = jnp.where(stop, ident, bp)
-        return (nxt, stop | ~changed, ovf | (~stop & o)), bp
+        return (nxt, stop | ~changed, ovf | (~stop & o), sat | (~stop & s)), bp
 
-    (st, _, ovf), bps = jax.lax.scan(
-        body, (st, jnp.bool_(False), jnp.bool_(False)), None, length=D
+    f = jnp.bool_(False)
+    (st, _, ovf, sat), bps = jax.lax.scan(
+        body, (st, f, f, f), None, length=D
     )
-    return st, bps, ovf
+    return st, bps, ovf, sat
 
 
 def _sharded_frame(st, scores_t, frame_active, pg, cfg: ShardConfig, axis, my_base, em_off, eps_off):
@@ -399,8 +402,9 @@ def _sharded_frame(st, scores_t, frame_active, pg, cfg: ShardConfig, axis, my_ba
         axis=-1,
     ).astype(jnp.int32)
 
+    em_sat = jnp.any(sel.num_unique > K)
     mid = StepState(sel.states, sel.costs, st.base)
-    mid, bp_eps, eps_ovf = _sharded_eps_closure(
+    mid, bp_eps, eps_ovf, eps_sat = _sharded_eps_closure(
         mid, next_cutoff[:, None], pg, cfg, axis, my_base, eps_off
     )
 
@@ -422,13 +426,25 @@ def _sharded_frame(st, scores_t, frame_active, pg, cfg: ShardConfig, axis, my_ba
     num_active = jax.lax.psum(
         jnp.sum(jnp.isfinite(mid.costs), axis=1).astype(jnp.int32), axis
     )
+    # Per-shard flags must be OR-reduced over the model axis: the output
+    # spec replicates them, so an unreduced flag from one shard would be
+    # silently dropped.
+    ovf_all = (
+        jax.lax.pmax(
+            (jnp.any(cand.overflow | rt.overflow) | eps_ovf).astype(jnp.int32),
+            axis,
+        )
+        > 0
+    )
+    sat_all = jax.lax.pmax((em_sat | eps_sat).astype(jnp.int32), axis) > 0
     outs = (
         jnp.where(fa[:, None, None], bp_emit, ident),
         jnp.where(fa[None, :, None, None], bp_eps, ident_eps),
         jnp.where(fa, num_active, 0),
         jnp.where(fa, mid.base + m_safe, st.base),
         st.base + cutoff,
-        fa & (jnp.any(cand.overflow | rt.overflow) | eps_ovf),
+        fa & ovf_all,
+        fa & sat_all,
     )
     return final_state, outs
 
@@ -462,10 +478,10 @@ def _build_sharded_chunk_fn(cfg: ShardConfig, mesh, model_axis: str, data_axis):
             )
 
         stf, outs = jax.lax.scan(body, st0, (scores_tm, ts))
-        bp_emit, bp_eps, num_active, best, cutoff, ovf = outs
+        bp_emit, bp_eps, num_active, best, cutoff, ovf, sat = outs
         # (T, D, B, K) -> (T, B, D, K)
         bp_eps = jnp.moveaxis(bp_eps, 1, 2)
-        return stf, (bp_emit, bp_eps, num_active, best, cutoff, ovf)
+        return stf, (bp_emit, bp_eps, num_active, best, cutoff, ovf, sat)
 
     mspec = P(model_axis)
     pg_specs = PackedGraph(*([mspec] * len(PackedGraph._fields)))
@@ -477,7 +493,7 @@ def _build_sharded_chunk_fn(cfg: ShardConfig, mesh, model_axis: str, data_axis):
         (
             P(None, data_axis, model_axis),  # bp_emit (T, B, K_total, 2)
             P(None, data_axis, None, model_axis),  # bp_eps (T, B, D, K, 2)
-            bspec, bspec, bspec, bspec,
+            bspec, bspec, bspec, bspec, bspec,
         ),
     )
     fn = shard_map(
@@ -502,7 +518,7 @@ def _build_sharded_init_fn(cfg: ShardConfig, mesh, model_axis: str, data_axis):
         pg = _pick_local(pg_parts)
         me = jax.lax.axis_index(model_axis)
         my_base = me.astype(jnp.int32) * fc.frontier_size
-        st, bps, _ = _sharded_eps_closure(
+        st, bps, _, _ = _sharded_eps_closure(
             st0, jnp.float32(INF), pg, cfg, model_axis, my_base, eps_off[0]
         )
         return st, jnp.moveaxis(bps, 1, 0) if bps.ndim == 4 else bps
@@ -607,7 +623,7 @@ class ShardedViterbiDecoder:
 
         st0 = self._init_state(Bp)
         st0, bp_init = self._init_fn(self._pg_dev, self._eps_off, st0)
-        stf, (bp_emit, bp_eps, num_active, best, cutoff, ovf) = self._chunk_fn(
+        stf, (bp_emit, bp_eps, num_active, best, cutoff, ovf, sat) = self._chunk_fn(
             self._pg_dev, self._em_off, self._eps_off,
             jnp.asarray(scores_p), jnp.asarray(lengths_p), st0,
         )
@@ -630,4 +646,5 @@ class ShardedViterbiDecoder:
             best_costs=np.asarray(best),
             cutoffs=np.asarray(cutoff),
             overflows=np.asarray(ovf),
+            saturations=np.asarray(sat),
         )

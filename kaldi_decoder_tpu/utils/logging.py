@@ -42,6 +42,12 @@ class DecodeStats:
     # Number of frames where the candidate arc budget overflowed and
     # candidates had to be dropped (0 == exact search within the beam).
     arc_budget_overflows: int = 0
+    # Number of frames where more distinct states fit the beam than the
+    # frontier has slots — the decoder silently behaved as if
+    # max_active == frontier_size on those frames, a capacity divergence
+    # from the reference's unbounded token stores.  Raise frontier_size
+    # (or lower beam/max_active) if this is nonzero on a beam-only decode.
+    frontier_saturated_frames: int = 0
 
     def summary(self) -> str:
         if self.active_per_frame is None or self.num_frames == 0:
@@ -51,5 +57,6 @@ class DecodeStats:
             f"DecodeStats(frames={self.num_frames}, "
             f"mean_active={float(act.mean()):.1f}, "
             f"max_active={int(act.max())}, "
-            f"overflows={self.arc_budget_overflows})"
+            f"overflows={self.arc_budget_overflows}, "
+            f"saturated={self.frontier_saturated_frames})"
         )

@@ -243,3 +243,31 @@ class TestApiParity:
         dec.init_decoding()
         ok, lat = dec.get_best_path()
         assert ok  # start token exists
+
+
+class TestSaturationFlag:
+    """The frontier holds at most K states; when more distinct states fit
+    the beam, beam-only decoders silently cap like max_active=K (a
+    divergence the reference cannot have).  That condition must be flagged
+    (VERDICT r1 weak #3)."""
+
+    def _decode(self, frontier_size):
+        rng = np.random.default_rng(7)
+        fst = random_fst(60, 5, rng, mean_arcs_per_state=6.0, eps_prob=0.0)
+        g = compile_fst(fst)
+        cfg = config_for_graph(
+            g, frontier_size=frontier_size, beam=1000.0, min_active=0
+        )
+        dec = BatchedViterbiDecoder(g, cfg, pad_time_to=8)
+        logp = rand_logp(rng, 10, 5)
+        return dec.decode(logp)
+
+    def test_small_frontier_flags_saturation(self):
+        res = self._decode(frontier_size=8)
+        st = res.stats(0)
+        assert st.frontier_saturated_frames > 0
+        assert "saturated" in st.summary()
+
+    def test_ample_frontier_is_clean(self):
+        res = self._decode(frontier_size=64)
+        assert res.stats(0).frontier_saturated_frames == 0
