@@ -271,10 +271,11 @@ class BatchedLatticeDecoder:
         self._dev_graph = dev_graph
         fc = _cfg_for_device_graph(dev_graph, frontier)
         fc.validate()
-        self.cfg = lattice_config_for_graph(
-            dev_graph, fc, em_records=em_records, eps_records=eps_records
-        )
         self.lattice_beam = float(lattice_beam)
+        self.cfg = lattice_config_for_graph(
+            dev_graph, fc, em_records=em_records, eps_records=eps_records,
+            lattice_beam=self.lattice_beam,
+        )
         self.pad_time_to = pad_time_to
         self.mesh = mesh
         self._batch_multiple = mesh.devices.size if mesh is not None else 1
@@ -374,8 +375,10 @@ class _StreamingLattice:
     def __init__(self, fst, frontier_kw: dict, lattice_beam: float, config):
         self._graph = _as_graph(fst)
         fc = config_for_graph(self._graph, **frontier_kw)
-        self._dev_cfg = lattice_config_for_graph(self._graph, fc)
         self._lattice_beam = float(lattice_beam)
+        self._dev_cfg = lattice_config_for_graph(
+            self._graph, fc, lattice_beam=self._lattice_beam
+        )
         self._config = config
         from kaldi_decoder_tpu.fst.pack import pack_graph
 

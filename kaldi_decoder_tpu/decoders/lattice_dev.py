@@ -57,19 +57,34 @@ class LatticeDevConfig:
     em_records: int = 4096
     # Per-eps-iteration record buffer size.
     eps_records: int = 1024
+    # Lattice beam used as the device-side link slack filter: a link whose
+    # slack (cand_cost - winner_cost(dst)) exceeds this is provably pruned
+    # by the backward sweep (extra = extra(dst) + slack >= slack,
+    # lattice-simple-decoder.cc:254-296), so it never spends record budget.
+    lattice_beam: float = 10.0
 
 
 def lattice_config_for_graph(
-    graph: CsrGraph, frontier: FrontierConfig, em_records=None, eps_records=None
+    graph: CsrGraph, frontier: FrontierConfig, em_records=None, eps_records=None,
+    lattice_beam: float = 10.0,
 ) -> LatticeDevConfig:
-    em_r = em_records or min(frontier.num_candidates, 4096)
+    # Default: room for every frontier winner plus a slack-selected extra
+    # pool (em_records == frontier_size would record winners only — a
+    # best-incoming-edge forest, not a lattice).
+    em_r = em_records or min(
+        frontier.num_candidates, max(4096, frontier.frontier_size + 2048)
+    )
     em_r = min(em_r, frontier.num_candidates)
     eps_cands = (
-        frontier.frontier_size * frontier.eps_block_width + frontier.eps_rem_budget
+        frontier.frontier_size * (frontier.eps_block_width + 1)
+        + frontier.eps_rem_budget
     )
     eps_r = eps_records or min(max(eps_cands // 4, 8), 2048)
     eps_r = min(eps_r, eps_cands)
-    return LatticeDevConfig(frontier=frontier, em_records=em_r, eps_records=eps_r)
+    return LatticeDevConfig(
+        frontier=frontier, em_records=em_r, eps_records=eps_r,
+        lattice_beam=float(lattice_beam),
+    )
 
 
 def compact_records(
@@ -117,6 +132,7 @@ def eps_iteration_rec(
     cfg: FrontierConfig,
     num_states: int,
     r_eps: int,
+    slack_beam: float = INF,
 ):
     """Epsilon relaxation that also emits link records.
 
@@ -131,16 +147,37 @@ def eps_iteration_rec(
     nvalid = jnp.isfinite(cand.cost) & (cand.cost <= cutoff_rel)
     ncost = jnp.where(nvalid, cand.cost, INF)
 
-    rec, rec_ovf = compact_records(
-        st.states[cand.src_slot], cand.arc_id, nvalid, r_eps
-    )
-
     cand_state = jnp.concatenate([st.states, cand.dst])
     cand_cost = jnp.concatenate([st.costs, ncost])
-    sel = dedup_select(cand_state, cand_cost, K, num_states)
+    # Incumbent entries (first K) are carried tokens, not links.
+    rec_ok = jnp.concatenate(
+        [jnp.zeros((K,), bool), jnp.ones(cand.dst.shape, bool)]
+    )
+    sel = dedup_select_rec(
+        cand_state, cand_cost, K, num_states, K + r_eps,
+        slack_beam=slack_beam, rec_ok=rec_ok,
+    )
+    # Records: the slack-selected extras plus any winner that is a fresh
+    # link (not an incumbent carry-over).
+    idx = sel.rec_idx
+    is_link = idx >= K
+    ci = jnp.where(is_link, idx - K, 0)
+    rec_all = jnp.stack(
+        [
+            jnp.where(is_link, st.states[cand.src_slot[ci]], -1),
+            jnp.where(is_link, cand.arc_id[ci], -1),
+        ],
+        axis=-1,
+    ).astype(jnp.int32)
+    # Keep the buffer at r_eps rows: winners that are links usually also
+    # appear among the extras, but compact to be safe.
+    keykeep = jnp.where(is_link, idx.shape[0] - jnp.arange(idx.shape[0]), 0)
+    _, takepos = jax.lax.top_k(keykeep, r_eps)
+    got = keykeep[takepos] > 0
+    rec = jnp.where(got[:, None], rec_all[takepos], -1)
     # changed: any selected slot won via a fresh candidate (index >= K).
     changed = jnp.any((sel.cand_idx >= K) & jnp.isfinite(sel.costs))
-    ovf = cand.overflow | rec_ovf
+    ovf = cand.overflow | sel.rec_overflow
     sat = sel.num_unique > K
     return StepState(sel.states, sel.costs, st.base), rec, changed, ovf, sat
 
@@ -152,6 +189,7 @@ def eps_closure_rec(
     cfg: FrontierConfig,
     num_states: int,
     r_eps: int,
+    slack_beam: float = INF,
 ):
     D = cfg.eps_iters
     if D == 0:
@@ -162,7 +200,7 @@ def eps_closure_rec(
     def body(carry, _):
         cur, stop, ovf, sat = carry
         nxt, rec, changed, o, s = eps_iteration_rec(
-            cur, cutoff_rel, pg, cfg, num_states, r_eps
+            cur, cutoff_rel, pg, cfg, num_states, r_eps, slack_beam
         )
         nxt = jax.tree.map(lambda new, old: jnp.where(stop, old, new), nxt, cur)
         rec = jnp.where(stop, empty, rec)
@@ -182,6 +220,7 @@ def lattice_emit_stage(
     fc: FrontierConfig,
     num_states: int,
     r_em: int,
+    slack_beam: float = INF,
 ):
     """Per-utterance lattice emitting stage with record emission."""
     K = fc.frontier_size
@@ -197,9 +236,11 @@ def lattice_emit_stage(
     nvalid = jnp.isfinite(cand.cost) & (cand.cost < next_cutoff)
     ncost = jnp.where(nvalid, cand.cost, INF)
 
-    # Dedup + frontier selection + records in one fused op: run minima
-    # first (lattice connectivity guaranteed), then cheapest extra links.
-    sel = dedup_select_rec(cand.dst, ncost, K, num_states, r_em)
+    # Dedup + frontier selection + records in one fused op: winners
+    # first (lattice connectivity guaranteed), then smallest-slack extras.
+    sel = dedup_select_rec(
+        cand.dst, ncost, K, num_states, r_em, slack_beam=slack_beam
+    )
     ok_r = sel.rec_idx >= 0
     safe_r = jnp.where(ok_r, sel.rec_idx, 0)
     em_rec = jnp.stack(
@@ -223,6 +264,7 @@ def eps_closure_rec_batched(
     fc: FrontierConfig,
     num_states: int,
     r_eps: int,
+    slack_beam: float = INF,
 ):
     """Batch-level record-emitting eps closure with real early exit
     (see frontier.eps_closure_batched). Returns recs (D, B, R, 2)."""
@@ -240,7 +282,9 @@ def eps_closure_rec_batched(
     def body(carry):
         it, cur, _, ovf, sat, recs = carry
         nxt, rec, changed, o, s = jax.vmap(
-            lambda st_, c: eps_iteration_rec(st_, c, pg, fc, num_states, r_eps)
+            lambda st_, c: eps_iteration_rec(
+                st_, c, pg, fc, num_states, r_eps, slack_beam
+            )
         )(cur, cutoff_rel)
         recs = jax.lax.dynamic_update_slice(
             recs, rec[None].astype(jnp.int32), (it, 0, 0, 0)
@@ -271,11 +315,12 @@ def lattice_frame_step(
     record-emitting epsilon closure, then rebase."""
     fc = cfg.frontier
 
+    sb = cfg.lattice_beam + 1e-4  # headroom: host prune re-checks in f64
     mid, em_rec, next_cutoff, cutoff_abs, em_ovf, em_sat = lattice_emit_stage(
-        st, scores_t, pg, fc, num_states, cfg.em_records
+        st, scores_t, pg, fc, num_states, cfg.em_records, sb
     )
     mid, eps_recs, eps_ovf, eps_sat = eps_closure_rec(
-        mid, next_cutoff, pg, fc, num_states, cfg.eps_records
+        mid, next_cutoff, pg, fc, num_states, cfg.eps_records, sb
     )
 
     m = mid.costs[0]
@@ -314,13 +359,14 @@ def lattice_frame_step_batched(
     fc = cfg.frontier
     B = st.states.shape[0]
 
+    sb = cfg.lattice_beam + 1e-4
     mid, em_rec, next_cutoff, cutoff_abs, em_ovf, em_sat = jax.vmap(
         lambda s, sc: lattice_emit_stage(
-            s, sc, pg, fc, num_states, cfg.em_records
+            s, sc, pg, fc, num_states, cfg.em_records, sb
         )
     )(st, scores_t)
     mid, recs, eps_ovf, eps_sat = eps_closure_rec_batched(
-        mid, next_cutoff, frame_active, pg, fc, num_states, cfg.eps_records
+        mid, next_cutoff, frame_active, pg, fc, num_states, cfg.eps_records, sb
     )
     eps_recs = jnp.moveaxis(recs, 0, 1)  # (B, D, R, 2)
 
@@ -366,7 +412,8 @@ def _build_init_rec_fn(S: int, cfg: LatticeDevConfig):
     def init(pg, start):
         st = start_state(start, cfg.frontier)
         st, recs, _, _ = eps_closure_rec(
-            st, jnp.float32(INF), pg, cfg.frontier, S, cfg.eps_records
+            st, jnp.float32(INF), pg, cfg.frontier, S, cfg.eps_records,
+            cfg.lattice_beam + 1e-4,
         )
         return st, recs
 

@@ -42,10 +42,27 @@ class _Tok:
 
 
 class OracleLatticeDecoder:
-    def __init__(self, fst: StdVectorFst, beam: float = 16.0, lattice_beam: float = 10.0):
+    """``deterministic_cutoff``: the reference's ProcessEmitting creates a
+    link whenever the token total beats the *evolving* cutoff
+    (`lattice-simple-decoder.cc:375-390` starts at +inf and tightens as
+    better tokens appear), so links in ``[frame_best + beam, evolving)``
+    survive or die depending on hash-iteration order — not semantics.
+    With the flag set, the cutoff is computed first (two passes) and every
+    link is judged against the final ``frame_best + beam``, which is the
+    deterministic behavior the device decoder implements; its link set is
+    a subset of any evolving-cutoff run's."""
+
+    def __init__(
+        self,
+        fst: StdVectorFst,
+        beam: float = 16.0,
+        lattice_beam: float = 10.0,
+        deterministic_cutoff: bool = False,
+    ):
         self.fst = fst
         self.beam = float(beam)
         self.lattice_beam = float(lattice_beam)
+        self.deterministic_cutoff = bool(deterministic_cutoff)
         self.active_toks: List[Dict[int, _Tok]] = []  # per frame: state -> tok
         self.cur_toks: Dict[int, _Tok] = {}
         self.final_costs: Dict[int, float] = {}  # state -> final cost (last frame)
@@ -92,6 +109,15 @@ class OracleLatticeDecoder:
         prev_toks = self.cur_toks
         self.cur_toks = {}
         cutoff = INF
+        if self.deterministic_cutoff:
+            # Pass 1: final cutoff = frame_best + beam (see class docstring).
+            for state, tok in prev_toks.items():
+                for arc in self.fst.arcs(state):
+                    if arc.ilabel == EPSILON:
+                        continue
+                    ac = -decodable.log_likelihood(frame, arc.ilabel)
+                    tot = tok.tot_cost + arc.weight + ac
+                    cutoff = min(cutoff, tot + self.beam)
         for state, tok in prev_toks.items():
             for arc in self.fst.arcs(state):
                 if arc.ilabel == EPSILON:
@@ -100,7 +126,7 @@ class OracleLatticeDecoder:
                 tot = tok.tot_cost + arc.weight + ac
                 if tot >= cutoff:
                     continue
-                if tot + self.beam < cutoff:
+                if not self.deterministic_cutoff and tot + self.beam < cutoff:
                     cutoff = tot + self.beam
                 nxt, _ = self._find_or_add(frame + 1, arc.nextstate, tot)
                 tok.links.append(

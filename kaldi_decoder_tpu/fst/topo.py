@@ -152,3 +152,43 @@ def random_fst(
         if rng.random() < final_prob or s == num_states - 1:
             fst.set_final(s, rand_weight())
     return fst
+
+
+def lexicon_fst(
+    lexicon: Sequence,
+    word_weights: Optional[Sequence[float]] = None,
+    loop: bool = True,
+) -> StdVectorFst:
+    """Trie-shaped lexicon transducer L: token sequences -> word ids.
+
+    ``lexicon`` is a sequence of ``(word_id, token_ids)`` pairs; tokens are
+    the raw CTC ids the topology's *output* labels carry, so
+    ``compose(ctc_topo(V), lexicon_fst(lex))`` builds an HL decoding graph
+    (the graph icefall feeds the reference decoders,
+    `/root/reference/README.md:16-20`).  The word id rides the first arc
+    of the word (Kaldi L convention); with ``loop`` an epsilon arc returns
+    from each word end to the root so word sequences are accepted.
+    """
+    fst = StdVectorFst()
+    root = fst.add_state()
+    fst.set_start(root)
+    fst.set_final(root)  # empty word sequence accepted
+    # trie: node -> {token -> (node, has_word_olabel)}; shared prefixes must
+    # not share the word olabel, so the olabel goes on the first arc unique
+    # to the word (first arc overall here: words sharing a first token get
+    # distinct first arcs, like Kaldi's L with disambiguation collapsed).
+    for i, (word, toks) in enumerate(lexicon):
+        toks = list(toks)
+        if not toks:
+            raise ValueError(f"word {word} has an empty pronunciation")
+        w = float(word_weights[i]) if word_weights is not None else 0.0
+        cur = root
+        for j, t in enumerate(toks):
+            nxt = fst.add_state()
+            fst.add_arc(cur, int(t), int(word) if j == 0 else EPSILON,
+                        w if j == 0 else 0.0, nxt)
+            cur = nxt
+        fst.set_final(cur)
+        if loop:
+            fst.add_arc(cur, EPSILON, EPSILON, 0.0, root)
+    return fst

@@ -213,17 +213,20 @@ class TestFinalSemantics:
 
 
 class TestDedupSelectRec:
-    def test_matches_dedup_select_with_large_min_cost(self):
-        # Regression: when all candidate costs exceed 1, the boosted
-        # (run-minimum) sort keys are positive — selection must still
-        # find every run minimum (band threshold is minc-0.5, not 0).
+    def test_records_cover_live_links_and_match_selection(self):
+        """dedup_select_rec must (a) select the identical frontier as
+        dedup_select and (b) record exactly the candidates whose
+        destination token survived the frontier top-K (with an unbounded
+        slack beam and ample budget): links into dropped tokens are dead
+        and must not spend budget; everything else must be present."""
         import jax.numpy as jnp
         from kaldi_decoder_tpu.ops.segment import dedup_select, dedup_select_rec
 
         rng = np.random.default_rng(7)
         for _ in range(50):
-            N, S, K, R = 64, 10, 8, 64
-            st = jnp.asarray(rng.integers(0, S, N).astype(np.int32))
+            N, S, K, R = 64, 10, 8, 64 + 8
+            st_np = rng.integers(0, S, N).astype(np.int32)
+            st = jnp.asarray(st_np)
             c = (rng.random(N).astype(np.float32) * 5 + 2.0)  # minc > 1
             c[rng.random(N) < 0.4] = np.inf
             cj = jnp.asarray(c)
@@ -236,6 +239,36 @@ class TestDedupSelectRec:
             assert np.array_equal(
                 np.asarray(a.cand_idx), np.asarray(b.cand_idx)
             )
-            want = set(np.flatnonzero(np.isfinite(c)).tolist())
+            live_states = {
+                int(s)
+                for s, cost in zip(np.asarray(a.states), np.asarray(a.costs))
+                if np.isfinite(cost)
+            }
+            want = {
+                i
+                for i in np.flatnonzero(np.isfinite(c)).tolist()
+                if int(st_np[i]) in live_states
+            }
             got = {int(x) for x in np.asarray(b.rec_idx) if x >= 0}
             assert got == want
+            assert not bool(np.asarray(b.rec_overflow))
+
+    def test_slack_beam_filters_and_orders_extras(self):
+        """Extras above the slack beam are provably-dead links and must be
+        filtered; under budget pressure the smallest-slack extras win."""
+        import jax.numpy as jnp
+        from kaldi_decoder_tpu.ops.segment import dedup_select_rec
+
+        # One state, five candidates with slacks 0,1,2,3,9.
+        st = jnp.asarray(np.zeros(5, np.int32))
+        c = jnp.asarray(np.array([2.0, 3.0, 4.0, 5.0, 11.0], np.float32))
+        K = 4
+        b = dedup_select_rec(st, c, K, 2, K + 4, slack_beam=5.0)
+        got = {int(x) for x in np.asarray(b.rec_idx) if x >= 0}
+        assert got == {0, 1, 2, 3}  # slack-9 candidate filtered
+        assert not bool(np.asarray(b.rec_overflow))
+        # Budget of 2 extras: smallest slacks (1, 2) kept, overflow flagged.
+        b = dedup_select_rec(st, c, K, 2, K + 2, slack_beam=5.0)
+        extras = [int(x) for x in np.asarray(b.rec_idx)[K:] if x >= 0]
+        assert extras == [1, 2]
+        assert bool(np.asarray(b.rec_overflow))

@@ -1,0 +1,222 @@
+"""Realistic-scale correctness: device lattice decoder vs oracle on an
+HL-structured graph (VERDICT r1 items #2/weak #2).
+
+Round-1 correctness evidence stopped at ~30-state random FSTs; this module
+builds a ~10k-state HL graph natively (``compose(ctc_topo(V),
+lexicon_fst(...))``, the structure icefall feeds the reference decoders,
+`/root/reference/README.md:16-20`) and checks, at realistic beams:
+
+* best-path label-sequence and cost equality device vs
+  ``OracleLatticeDecoder`` (exact LatticeSimpleDecoder semantics);
+* the device lattice link set is a SUBSET of the oracle's (nothing
+  semantically wrong ever appears) and misses only *gray-zone* links —
+  links with ``tot_cost >= frame_best + beam`` that the reference keeps
+  or drops depending on its hash-iteration order (the evolving cutoff at
+  `faster-decoder.cc:192-230` starts loose, so early-created links above
+  the final cutoff survive in its lattice; the device prunes every link
+  at the final — tightest, deterministic — cutoff);
+* quantified link recall when the record buffer is squeezed until
+  overflow fires — overflow must cost recall gracefully (smallest-slack
+  links are kept first), never lose the best path, and always be flagged.
+"""
+
+import numpy as np
+import pytest
+
+from kaldi_decoder_tpu.decodable import DecodableCtc
+from kaldi_decoder_tpu.decoders import BatchedLatticeDecoder
+from kaldi_decoder_tpu.decoders.frontier import config_for_graph
+from kaldi_decoder_tpu.decoders.ref_lattice import OracleLatticeDecoder
+from kaldi_decoder_tpu.fst import compile_fst, path_labels, path_total_cost
+from kaldi_decoder_tpu.fst.ops import compose
+from kaldi_decoder_tpu.fst.topo import ctc_topo, lexicon_fst
+
+V = 50
+BEAM = 8.0
+LATTICE_BEAM = 5.0
+T = 50
+K = 4096
+EM_RECORDS = K + 8192
+
+
+@pytest.fixture(scope="module")
+def hl_setup():
+    rng = np.random.default_rng(0)
+    lex = []
+    for w in range(600):
+        ln = int(rng.integers(3, 9))
+        lex.append((1000 + w, rng.integers(1, V, size=ln).tolist()))
+    L = lexicon_fst(lex, word_weights=rng.uniform(0, 4, len(lex)).tolist())
+    HL = compose(ctc_topo(V), L)
+    assert HL.num_states > 5000, "graph must be at realistic HL scale"
+    return HL, compile_fst(HL), lex
+
+
+@pytest.fixture(scope="module")
+def oracle_run(hl_setup):
+    """Oracle in deterministic-cutoff mode: link admission judged against
+    the final frame cutoff, the order-independent semantics the device
+    implements (see OracleLatticeDecoder docstring)."""
+    HL, g, lex = hl_setup
+    scores = make_scores(lex, np.random.default_rng(42))
+    oracle = OracleLatticeDecoder(
+        HL, beam=BEAM, lattice_beam=LATTICE_BEAM, deterministic_cutoff=True
+    )
+    oracle.decode(DecodableCtc(scores))
+    return scores, oracle, oracle_link_set(oracle), oracle.get_best_path()
+
+
+def make_scores(lex, rng, peak=3.2):
+    """CTC-like posteriors tracking a random word sequence, with enough
+    noise that >1000 states stay in-beam."""
+    ids = []
+    while len(ids) < T:
+        _, toks = lex[int(rng.integers(len(lex)))]
+        for t in toks:
+            ids.append(t)
+            if rng.random() < 0.3:
+                ids.append(t)
+        ids.append(0)
+    ids = np.array(ids[:T])
+    logp = np.log(rng.dirichlet(np.ones(V) * 0.3, size=T)).astype(np.float64)
+    logp[np.arange(T), ids] += peak
+    logp -= np.log(np.exp(logp).sum(1, keepdims=True))
+    return logp.astype(np.float32)
+
+
+def oracle_link_set(d: OracleLatticeDecoder):
+    """Canonical link set {(f_src, state_src, f_dst, state_dst, il, ol,
+    g, a)} from the oracle's pruned token structure."""
+    where = {}
+    for f, toks in enumerate(d.active_toks):
+        for state, tok in toks.items():
+            where[id(tok)] = (f, state)
+    links = set()
+    for f, toks in enumerate(d.active_toks):
+        for state, tok in toks.items():
+            for l in tok.links:
+                if id(l.next_tok) not in where:
+                    continue
+                fd, sd = where[id(l.next_tok)]
+                links.add(
+                    (f, state, fd, sd, l.ilabel, l.olabel,
+                     round(float(l.graph_cost), 3), round(float(l.ac_cost), 3))
+                )
+    return links
+
+
+def device_link_set(res, b=0):
+    """Same canonical link set from the device result's pruned lattice."""
+    pl = res._prune(b)
+    assert pl is not None
+    links = set()
+    for f in range(pl.num_frames + 1):
+        toks = pl.tokens[f]
+        for lk, fd in (
+            (pl.eps_links[f], f),
+            (pl.em_links[f] if f < pl.num_frames else None, f + 1),
+        ):
+            if lk is None:
+                continue
+            dtoks = pl.tokens[fd]
+            for i in range(len(lk.src)):
+                if not lk.keep[i]:
+                    continue
+                links.add(
+                    (
+                        f,
+                        int(toks.states[lk.src[i]]),
+                        fd,
+                        int(dtoks.states[lk.dst[i]]),
+                        int(lk.ilabel[i]),
+                        int(lk.olabel[i]),
+                        round(float(lk.graph_cost[i]), 3),
+                        round(float(lk.ac_cost[i]), 3),
+                    )
+                )
+    return links
+
+
+class TestHLScaleParity:
+    def test_lattice_and_best_path_match_oracle(self, hl_setup, oracle_run):
+        HL, g, lex = hl_setup
+        scores, oracle, olinks, olat = oracle_run
+        assert len(olinks) > 1500, "workload too easy to be meaningful"
+
+        fc = config_for_graph(
+            g, beam=BEAM, min_active=0, frontier_size=K, rem_budget=65536
+        )
+        dec = BatchedLatticeDecoder(
+            g, fc, lattice_beam=LATTICE_BEAM, em_records=EM_RECORDS,
+            eps_records=2048, pad_time_to=T,
+        )
+        res = dec.decode(scores)
+        st = res.stats(0)
+        assert float(np.mean(st.active_per_frame)) > 500, "too little pressure"
+        assert st.arc_budget_overflows == 0
+        assert st.frontier_saturated_frames == 0
+
+        dlat = res.best_path(0)
+        assert dlat is not None and olat is not None
+        assert path_labels(dlat) == path_labels(olat)
+        assert path_total_cost(dlat) == pytest.approx(
+            path_total_cost(olat), abs=1e-2
+        )
+
+        dlinks = device_link_set(res)
+        extra = dlinks - olinks
+        missing = olinks - dlinks
+        assert not extra, f"{len(extra)} extra device links, e.g. {sorted(extra)[:3]}"
+        assert not missing, (
+            f"{len(missing)} oracle links missing, e.g. {sorted(missing)[:3]}"
+        )
+
+    def test_deterministic_cutoff_is_subset_of_evolving(self, hl_setup, oracle_run):
+        """The deterministic-final-cutoff lattice (what the device computes)
+        is a subset of the reference's order-dependent evolving-cutoff
+        lattice, with the same best path."""
+        HL, g, lex = hl_setup
+        scores, _, olinks, olat = oracle_run
+        ev = OracleLatticeDecoder(HL, beam=BEAM, lattice_beam=LATTICE_BEAM)
+        ev.decode(DecodableCtc(scores))
+        evlinks = oracle_link_set(ev)
+        assert olinks <= evlinks
+        gray = len(evlinks) - len(olinks)
+        assert gray < len(evlinks) * 0.01  # the gray zone is tiny
+        assert path_labels(olat) == path_labels(ev.get_best_path())
+
+    def test_overflow_degrades_recall_gracefully(self, hl_setup, oracle_run):
+        """Squeeze em_records until overflow fires: the flag must be set,
+        the best path must survive exactly, and link recall degrades
+        gracefully (smallest-slack links kept first)."""
+        HL, g, lex = hl_setup
+        scores, oracle, olinks, olat = oracle_run
+
+        fc = config_for_graph(
+            g, beam=BEAM, min_active=0, frontier_size=K, rem_budget=65536
+        )
+        recalls = {}
+        for r_em in (EM_RECORDS, K + 1024, K + 256):
+            dec = BatchedLatticeDecoder(
+                g, fc, lattice_beam=LATTICE_BEAM, em_records=r_em,
+                eps_records=2048, pad_time_to=T,
+            )
+            res = dec.decode(scores)
+            dlat = res.best_path(0)
+            assert dlat is not None
+            assert path_labels(dlat) == path_labels(olat)
+            assert path_total_cost(dlat) == pytest.approx(
+                path_total_cost(olat), abs=1e-2
+            )
+            dlinks = device_link_set(res)
+            assert not (dlinks - olinks)
+            recalls[r_em] = len(olinks & dlinks) / len(olinks)
+            if r_em == EM_RECORDS:
+                assert res.stats(0).arc_budget_overflows == 0
+            else:
+                # The squeeze must be visible, not silent, and still keep
+                # a useful lattice (slack ordering keeps likely survivors).
+                assert res.stats(0).arc_budget_overflows > 0
+                assert recalls[r_em] > 0.1
+        assert recalls[EM_RECORDS] >= recalls[K + 1024] >= recalls[K + 256]
+        print(f"link recall under overflow: {recalls}")
