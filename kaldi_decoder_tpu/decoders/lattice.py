@@ -36,6 +36,7 @@ from kaldi_decoder_tpu.decoders.viterbi import _round_up
 from kaldi_decoder_tpu.fst.csr import CsrGraph, compile_fst
 from kaldi_decoder_tpu.fst.fst import INF, Lattice, StdVectorFst
 from kaldi_decoder_tpu.lattice.prune import (
+    IncrementalLattice,
     PrunedLattice,
     prune_lattice,
     raw_lattice_to_fst,
@@ -368,7 +369,16 @@ class BatchedLatticeDecoder:
 
 
 class _StreamingLattice:
-    """Shared streaming machinery for the lattice decoder API classes."""
+    """Shared streaming machinery for the lattice decoder API classes.
+
+    Host memory is bounded: each ``advance_decoding`` chunk's records are
+    folded into an :class:`IncrementalLattice` immediately (acoustic
+    scores are consumed, not retained) and every ``prune_interval`` frames
+    the backward extra-cost sweep discards provably-dead tokens/links —
+    the reference's PruneActiveTokens loop
+    (`lattice-simple-decoder.cc:53-73`, `:198-223`).  The final lattice is
+    identical to a one-shot decode.
+    """
 
     chunk_pad: int = 64
 
@@ -380,6 +390,8 @@ class _StreamingLattice:
             self._graph, fc, lattice_beam=self._lattice_beam
         )
         self._config = config
+        self._prune_interval = int(getattr(config, "prune_interval", 25))
+        self._prune_scale = float(getattr(config, "prune_scale", 0.1))
         from kaldi_decoder_tpu.fst.pack import pack_graph
 
         fcw = self._dev_cfg.frontier
@@ -393,12 +405,11 @@ class _StreamingLattice:
     def _reset(self):
         self._num_frames_decoded = -1
         self._state: Optional[StepState] = None
-        self._init_states = None
-        self._init_costs = None
-        self._init_recs = None
-        self._chunks: List[dict] = []
+        self._inc: Optional[IncrementalLattice] = None
+        self._stats: List[dict] = []
+        self._since_prune = 0
         self._finalized = False
-        self._result_cache: Optional[LatticeResult] = None
+        self._pruned_cache: dict = {}
 
     def get_config(self):
         return self._config
@@ -410,9 +421,12 @@ class _StreamingLattice:
             self._dev_cfg,
         )
         self._state = StepState(st.states[None], st.costs[None], st.base[None])
-        self._init_states = np.asarray(st.states)
-        self._init_costs = np.asarray(st.costs)
-        self._init_recs = np.asarray(recs)
+        self._inc = IncrementalLattice(
+            self._graph, self._lattice_beam, self._prune_scale
+        )
+        self._inc.init_frame(
+            np.asarray(st.states), np.asarray(st.costs), np.asarray(recs)
+        )
         self._num_frames_decoded = 0
 
     def advance_decoding(
@@ -442,20 +456,28 @@ class _StreamingLattice:
             self._state,
         )
         self._state = stf
-        self._chunks.append(
+        frame_states = np.asarray(outs.frontier_states)[:n_new, 0]
+        frame_costs = np.asarray(outs.frontier_costs)[:n_new, 0]
+        em_records = np.asarray(outs.em_records)[:n_new, 0]
+        eps_records = np.asarray(outs.eps_records)[:n_new, 0]
+        for t in range(n_new):
+            self._inc.append_frame(
+                frame_states[t], frame_costs[t], em_records[t],
+                eps_records[t], scores[t],
+            )
+            self._since_prune += 1
+            if self._since_prune >= self._prune_interval:
+                self._inc.prune_active_tokens()
+                self._since_prune = 0
+        self._stats.append(
             {
-                "scores": scores,
-                "frame_states": np.asarray(outs.frontier_states)[:n_new],
-                "frame_costs": np.asarray(outs.frontier_costs)[:n_new],
-                "em_records": np.asarray(outs.em_records)[:n_new],
-                "eps_records": np.asarray(outs.eps_records)[:n_new],
-                "num_active": np.asarray(outs.num_active)[:n_new],
-                "cutoffs": np.asarray(outs.cutoff)[:n_new],
-                "overflows": np.asarray(outs.overflow)[:n_new],
-                "saturations": np.asarray(outs.saturated)[:n_new],
+                "num_active": np.asarray(outs.num_active)[:n_new, 0],
+                "cutoffs": np.asarray(outs.cutoff)[:n_new, 0],
+                "overflows": np.asarray(outs.overflow)[:n_new, 0],
+                "saturations": np.asarray(outs.saturated)[:n_new, 0],
             }
         )
-        self._result_cache = None
+        self._pruned_cache.clear()
         self._num_frames_decoded = target
 
     def decode(self, decodable: DecodableInterface) -> bool:
@@ -469,66 +491,40 @@ class _StreamingLattice:
     def finalize_decoding(self) -> None:
         """FinalizeDecoding parity (`lattice-simple-decoder.cc:407-420`).
 
-        On the TPU path the backward prune happens lazily on the host when
-        a lattice is requested; this records that final-probs semantics are
-        now locked in (`:588-591` forbids use_final_probs=False after)."""
+        The full backward prune happens lazily on the host when a lattice
+        is requested; this locks in final-probs semantics
+        (`:588-591` forbids use_final_probs=False after)."""
         self._finalized = True
 
     def num_frames_decoded(self) -> int:
         return self._num_frames_decoded
 
-    def _result(self) -> LatticeResult:
-        if self._result_cache is not None:
-            return self._result_cache
-        assert self._state is not None
+    def _pruned(self, use_final_probs: bool = True) -> Optional[PrunedLattice]:
+        assert self._inc is not None, "call init_decoding() first"
+        if use_final_probs not in self._pruned_cache:
+            self._pruned_cache[use_final_probs] = self._inc.finalize(
+                use_final_probs
+            )
+        return self._pruned_cache[use_final_probs]
+
+    def stats(self) -> DecodeStats:
         T = self._num_frames_decoded
-        K = self._dev_cfg.frontier.frontier_size
-        D = self._dev_cfg.frontier.eps_iters
-        Rem, Reps = self._dev_cfg.em_records, self._dev_cfg.eps_records
-        if self._chunks:
-            cat = lambda k: np.concatenate([c[k] for c in self._chunks], axis=0)
-            scores = np.concatenate([c["scores"] for c in self._chunks], axis=0)[None]
-            fs, fcost = cat("frame_states"), cat("frame_costs")
-            em, ep = cat("em_records"), cat("eps_records")
-            na, co, ov = cat("num_active"), cat("cutoffs"), cat("overflows")
-            sa = cat("saturations")
-        else:
-            scores = np.zeros((1, 0, 1), np.float32)
-            fs = np.zeros((0, 1, K), np.int32)
-            fcost = np.zeros((0, 1, K), np.float32)
-            em = np.zeros((0, 1, Rem, 2), np.int32)
-            ep = np.zeros((0, 1, D, Reps, 2), np.int32)
-            na = np.zeros((0, 1), np.int32)
-            co = np.zeros((0, 1), np.float32)
-            ov = np.zeros((0, 1), bool)
-            sa = np.zeros((0, 1), bool)
-        self._result_cache = LatticeResult(
-            graph=self._graph,
-            cfg=self._dev_cfg,
-            lattice_beam=self._lattice_beam,
-            scores=scores,
-            lengths=np.array([T], np.int32),
-            init_states=self._init_states,
-            init_costs=self._init_costs,
-            init_eps_records=self._init_recs,
-            frame_states=fs,
-            frame_costs=fcost,
-            em_records=em,
-            eps_records=ep,
-            num_active=na,
-            cutoffs=co,
-            overflows=ov,
-            saturations=sa,
+        cat = lambda k: (
+            np.concatenate([c[k] for c in self._stats], axis=0)
+            if self._stats
+            else np.zeros((0,))
         )
-        return self._result_cache
+        return DecodeStats(
+            num_frames=T,
+            active_per_frame=cat("num_active"),
+            cutoff_per_frame=cat("cutoffs"),
+            arc_budget_overflows=int(np.sum(cat("overflows"))),
+            frontier_saturated_frames=int(np.sum(cat("saturations"))),
+        )
 
     def reached_final(self) -> bool:
-        if self._num_frames_decoded == 0:
-            # No frames: final iff start's closure touches a final state.
-            costs = self._init_costs
-            fc = self._graph.arrays.final_cost[self._init_states]
-            return bool(np.any(np.isfinite(costs) & np.isfinite(fc)))
-        return self._result().reached_final(0)
+        pl = self._pruned(True)
+        return pl is not None and np.isfinite(pl.final_relative_cost)
 
     def final_relative_cost(self) -> float:
         """ComputeFinalCosts semantics (`lattice-simple-decoder.cc:522-560`)."""
@@ -553,7 +549,8 @@ class _StreamingLattice:
                 "You cannot call finalize_decoding() and then call "
                 "get_raw_lattice() with use_final_probs == false"
             )  # lattice-simple-decoder.cc:588-591
-        lat = self._result().raw_lattice(0, use_final_probs)
+        pl = self._pruned(use_final_probs)
+        lat = raw_lattice_to_fst(pl, use_final_probs) if pl is not None else None
         if lat is None:
             return False, Lattice()
         return True, lat

@@ -190,6 +190,25 @@ def prune_lattice(
         )
         for f in range(L + 1)
     ]
+    return prune_token_structure(
+        tokens, em_links, eps_links, graph, lattice_beam, use_final_probs
+    )
+
+
+def prune_token_structure(
+    tokens: List[FrameTokens],
+    em_links: List[FrameLinks],
+    eps_links: List[FrameLinks],
+    graph: CsrGraph,
+    lattice_beam: float,
+    use_final_probs: bool = True,
+) -> Optional[PrunedLattice]:
+    """FinalizeDecoding over pre-collected tokens/links (mutates them):
+    final-prob folding, full backward extra-cost sweep, token pruning,
+    PrunedLattice assembly (`lattice-simple-decoder.cc:407-520`)."""
+    L = len(tokens) - 1
+    if any(len(t.states) == 0 for t in tokens):
+        return None
 
     # ---- final frame: fold final-probs (PruneForwardLinksFinal) ----------
     last = tokens[L]
@@ -373,3 +392,217 @@ def raw_lattice_to_fst(
         return None
     lat.set_start(int(start_tok))
     return lat
+
+
+def _links_compact(lk: FrameLinks, keep: np.ndarray) -> FrameLinks:
+    return FrameLinks(
+        src=lk.src[keep],
+        dst=lk.dst[keep],
+        ilabel=lk.ilabel[keep],
+        olabel=lk.olabel[keep],
+        graph_cost=lk.graph_cost[keep],
+        ac_cost=lk.ac_cost[keep],
+        keep=np.ones(int(keep.sum()), dtype=bool),
+    )
+
+
+def _links_copy(lk: FrameLinks) -> FrameLinks:
+    return FrameLinks(
+        src=lk.src.copy(),
+        dst=lk.dst.copy(),
+        ilabel=lk.ilabel.copy(),
+        olabel=lk.olabel.copy(),
+        graph_cost=lk.graph_cost.copy(),
+        ac_cost=lk.ac_cost.copy(),
+        keep=lk.keep.copy(),
+    )
+
+
+class IncrementalLattice:
+    """Streaming host lattice with windowed pruning (the ``prune_interval``
+    capability, `lattice-simple-decoder.cc:198-223` PruneActiveTokens).
+
+    Frames are appended as device chunks arrive (scores are consumed at
+    append time and not retained); ``prune_active_tokens`` runs the
+    backward extra-cost sweep from the live frontier — whose tokens carry
+    extra 0, the reference's Token-constructor initialisation — pruning
+    links whose extra lower bound already exceeds ``lattice_beam`` and
+    deleting unreachable tokens.  Because true extra costs only grow as
+    more audio arrives, everything pruned here is provably outside the
+    final lattice: ``finalize`` yields the identical lattice to a
+    one-shot decode.  The sweep stops early once a frame's extras settle
+    within ``delta = lattice_beam * prune_scale``
+    (`lattice-simple-decoder.cc:228-305` delta semantics).
+    """
+
+    def __init__(
+        self,
+        graph: CsrGraph,
+        lattice_beam: float,
+        prune_scale: float = 0.1,
+    ):
+        self.graph = graph
+        self.lattice_beam = float(lattice_beam)
+        self.delta = float(lattice_beam) * float(prune_scale)
+        self.tokens: List[FrameTokens] = []
+        self.em_links: List[FrameLinks] = []  # frame f -> f+1
+        self.eps_links: List[FrameLinks] = []  # within frame f
+        self.dead = False  # an empty frontier was appended
+
+    @property
+    def num_frames(self) -> int:
+        return max(len(self.tokens) - 1, 0)
+
+    def live_links(self) -> int:
+        return sum(len(l.src) for l in self.em_links) + sum(
+            len(l.src) for l in self.eps_links
+        )
+
+    def live_tokens(self) -> int:
+        return sum(len(t.states) for t in self.tokens)
+
+    def init_frame(self, states, costs, init_eps_records) -> None:
+        toks = _frame_tokens(np.asarray(states), np.asarray(costs))
+        self.tokens = [toks]
+        self.em_links = []
+        self.eps_links = [
+            _collect_eps_links(np.asarray(init_eps_records), toks, self.graph)
+        ]
+        self.dead = len(toks.states) == 0
+
+    def append_frame(self, states, costs, em_records, eps_records, scores_t):
+        """Add the frame whose frontier is (states, costs); ``em_records``
+        link the previous frame to it, ``eps_records`` are its intra-frame
+        epsilon links, ``scores_t`` the acoustic row that produced it."""
+        toks = _frame_tokens(np.asarray(states), np.asarray(costs))
+        self.em_links.append(
+            _collect_em_links(
+                np.asarray(em_records), self.tokens[-1], toks, self.graph,
+                np.asarray(scores_t),
+            )
+        )
+        self.tokens.append(toks)
+        self.eps_links.append(
+            _collect_eps_links(np.asarray(eps_records), toks, self.graph)
+        )
+        self.dead = self.dead or len(toks.states) == 0
+
+    # -- windowed pruning ---------------------------------------------------
+
+    def _sweep_frame(self, f: int, base: np.ndarray) -> np.ndarray:
+        """extra = min over links of (extra(next) + slack), links above the
+        lattice beam dropped; intra-frame eps fixed point (mirrors the
+        backward loop in prune_token_structure, without final folding)."""
+        toks = self.tokens[f]
+        lb = self.lattice_beam
+        if f < len(self.tokens) - 1:
+            lk = self.em_links[f]
+            nxt = self.tokens[f + 1]
+            if len(lk.src):
+                slack = (
+                    toks.alpha[lk.src]
+                    + lk.graph_cost
+                    + lk.ac_cost
+                    - nxt.alpha[lk.dst]
+                )
+                le = nxt.extra[lk.dst] + slack
+                lk.keep = le <= lb
+                le = np.maximum(le, 0.0)
+                kept = lk.keep & np.isfinite(le)
+                np.minimum.at(base, lk.src[kept], le[kept])
+                self.em_links[f] = _links_compact(lk, lk.keep)
+        extra = base.copy()
+        ek = self.eps_links[f]
+        if len(ek.src):
+            slack = toks.alpha[ek.src] + ek.graph_cost - toks.alpha[ek.dst]
+            for _ in range(len(ek.src) + 1):
+                le = extra[ek.dst] + slack
+                ek.keep = le <= lb
+                le = np.maximum(le, 0.0)
+                new_extra = base.copy()
+                kept = ek.keep & np.isfinite(le)
+                np.minimum.at(new_extra, ek.src[kept], le[kept])
+                converged = np.all(
+                    approx_equal_array(
+                        np.minimum(new_extra, 1e30),
+                        np.minimum(extra, 1e30),
+                        1e-6,
+                    )
+                )
+                extra = new_extra
+                if converged:
+                    break
+            self.eps_links[f] = _links_compact(ek, ek.keep)
+        return extra
+
+    def _delete_dead(self, f: int) -> None:
+        toks = self.tokens[f]
+        alive = np.isfinite(toks.extra)
+        if np.all(alive):
+            return
+        new_index = np.cumsum(alive) - 1
+        remap = np.where(alive, new_index, -1)
+        toks.states = toks.states[alive]
+        toks.alpha = toks.alpha[alive]
+        toks.extra = toks.extra[alive]
+
+        def _remap(lk: FrameLinks, side: str):
+            idx = getattr(lk, side)
+            if len(idx) == 0:
+                return lk
+            mapped = remap[idx]
+            keep = mapped >= 0
+            setattr(lk, side, np.where(keep, mapped, 0))
+            return _links_compact(lk, lk.keep & keep)
+
+        self.eps_links[f] = _remap(_remap(self.eps_links[f], "src"), "dst")
+        if f < len(self.tokens) - 1:
+            self.em_links[f] = _remap(self.em_links[f], "src")
+        if f > 0:
+            self.em_links[f - 1] = _remap(self.em_links[f - 1], "dst")
+
+    def prune_active_tokens(self) -> None:
+        """PruneActiveTokens(lattice_beam * prune_scale): backward sweep
+        from the live frontier with early stop, then dead-token deletion
+        (`lattice-simple-decoder.cc:198-223`, `:310-334`)."""
+        L = len(self.tokens) - 1
+        if L < 0 or self.dead:
+            return
+        # Frontier tokens are alive by definition: extra = 0
+        # (lattice-simple-decoder.h:200 Token ctor).
+        first_changed = L
+        for f in range(L, -1, -1):
+            toks = self.tokens[f]
+            base = (
+                np.zeros(len(toks.states))
+                if f == L
+                else np.full(len(toks.states), INF)
+            )
+            extra = self._sweep_frame(f, base)
+            changed = not np.all(
+                np.abs(np.minimum(extra, 1e30) - np.minimum(toks.extra, 1e30))
+                <= self.delta
+            )
+            toks.extra = extra
+            first_changed = f
+            if not changed:
+                break
+        for f in range(first_changed, L):  # never delete the live frontier
+            self._delete_dead(f)
+
+    # -- finalization ---------------------------------------------------------
+
+    def finalize(self, use_final_probs: bool = True) -> Optional[PrunedLattice]:
+        """FinalizeDecoding on a copy of the retained structure (the
+        incremental state stays valid for further appends)."""
+        if self.dead or not self.tokens:
+            return None
+        tokens = [
+            FrameTokens(t.states.copy(), t.alpha.copy(), np.full(len(t.states), INF))
+            for t in self.tokens
+        ]
+        em = [_links_copy(l) for l in self.em_links]
+        eps = [_links_copy(l) for l in self.eps_links]
+        return prune_token_structure(
+            tokens, em, eps, self.graph, self.lattice_beam, use_final_probs
+        )
