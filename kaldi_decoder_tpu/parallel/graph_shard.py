@@ -45,7 +45,7 @@ from kaldi_decoder_tpu.decoders.frontier import (
 )
 from kaldi_decoder_tpu.fst.csr import CsrGraph, GraphArrays
 from kaldi_decoder_tpu.fst.pack import EM_FIELDS, EPS_FIELDS, PackedGraph, pack_graph
-from kaldi_decoder_tpu.ops.segment import dedup_select
+from kaldi_decoder_tpu.ops.segment import dedup_select, dedup_select_rec
 
 INF = jnp.inf
 
@@ -367,6 +367,58 @@ def _sharded_eps_closure(st, cutoff_rel, pg, cfg, axis, my_base, eps_off):
     return st, bps, ovf, sat
 
 
+def _global_cutoff(st: StepState, cfg: ShardConfig, axis):
+    """GetCutoff with *global* semantics over all shards' frontiers
+    (`faster-decoder.cc:244-336`): beam cutoff from the global best, the
+    max/min-active order statistics over the union of the per-shard
+    (sorted) frontiers.  Returns (cutoff (B,), adaptive_beam (B,)).
+
+    When neither bound can bind (max_active >= total capacity and
+    min_active == 0) only the global best is exchanged; otherwise each
+    shard contributes its cost prefix of length m = min(needed+1, K) —
+    the global n-th smallest is always within the union of per-shard
+    n+1-prefixes — via one all_gather, and the order statistics are read
+    off a local sort of the merged prefixes.
+    """
+    fc = cfg.frontier
+    K = fc.frontier_size
+    local_best = jnp.min(jnp.where(jnp.isfinite(st.costs), st.costs, INF), axis=1)
+    best = _pmin(local_best, axis)  # (B,)
+    beam_cutoff = best + fc.beam
+    if fc.max_active >= cfg.k_total and fc.min_active == 0:
+        return beam_cutoff, jnp.full_like(best, fc.beam)
+
+    count = jax.lax.psum(
+        jnp.sum(jnp.isfinite(st.costs), axis=1).astype(jnp.int32), axis
+    )  # (B,) global live tokens
+    m = int(min(max(fc.max_active, fc.min_active) + 1, K))
+    prefix = st.costs[:, :m]  # per-shard frontiers are cost-sorted
+    merged = jax.lax.all_gather(prefix, axis, axis=1, tiled=True)  # (B, P*m)
+    merged = jnp.sort(merged, axis=1)
+    PM = merged.shape[1]
+    max_cut = jnp.where(
+        count > fc.max_active,
+        merged[:, min(fc.max_active, PM - 1)],
+        INF,
+    )
+    min_cut = jnp.where(
+        count > fc.min_active,
+        best if fc.min_active == 0 else merged[:, min(fc.min_active, PM - 1)],
+        INF,
+    )
+    use_max = max_cut < beam_cutoff
+    use_min = (~use_max) & (min_cut > beam_cutoff)
+    cutoff = jnp.where(
+        use_max, max_cut, jnp.where(use_min, min_cut, beam_cutoff)
+    )
+    adaptive = jnp.where(
+        use_max,
+        max_cut - best + fc.beam_delta,
+        jnp.where(use_min, min_cut - best + fc.beam_delta, fc.beam),
+    ).astype(jnp.float32)
+    return cutoff, adaptive
+
+
 def _sharded_frame(st, scores_t, frame_active, pg, cfg: ShardConfig, axis, my_base, em_off, eps_off):
     """One sharded frame: local expand -> route -> local dedup -> routed
     eps closure -> global rebase."""
@@ -374,17 +426,15 @@ def _sharded_frame(st, scores_t, frame_active, pg, cfg: ShardConfig, axis, my_ba
     K, Sp, Pn = fc.frontier_size, cfg.part_size, cfg.num_parts
     B = st.states.shape[0]
 
-    # Global beam cutoff: best over every shard's frontier.
-    local_best = jnp.min(jnp.where(jnp.isfinite(st.costs), st.costs, INF), axis=1)
-    best = _pmin(local_best, axis)  # (B,)
-    cutoff = best + fc.beam
+    # Global GetCutoff: beam + max/min-active over all shards' frontiers.
+    cutoff, adaptive_beam = _global_cutoff(st, cfg, axis)
     active = jnp.isfinite(st.costs) & (st.costs < cutoff[:, None])
 
     cand = jax.vmap(lambda s, a, sc: expand_emitting(s, a, sc, pg, fc))(
         st, active, scores_t
     )
     best_new = _pmin(jnp.min(cand.cost, axis=1), axis)
-    next_cutoff = best_new + fc.beam
+    next_cutoff = best_new + adaptive_beam
     ncost = jnp.where(cand.cost < next_cutoff[:, None], cand.cost, INF)
 
     rt = _route(
@@ -647,4 +697,427 @@ class ShardedViterbiDecoder:
             cutoffs=np.asarray(cutoff),
             overflows=np.asarray(ovf),
             saturations=np.asarray(sat),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Sharded lattice decoding (BASELINE config #5: sharded-graph HLG lattice)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardLatticeConfig:
+    """ShardConfig + per-shard record budgets (lattice_dev analogue)."""
+
+    shard: ShardConfig
+    em_records: int  # per shard: frontier winners + slack-selected extras
+    eps_records: int  # per shard, per eps iteration
+    lattice_beam: float = 10.0
+
+
+def shard_lattice_config_for(
+    sg: ShardedGraph,
+    base: FrontierConfig,
+    lattice_beam: float,
+    em_records=None,
+    eps_records=None,
+    route_cap=None,
+    eps_route_cap=None,
+) -> ShardLatticeConfig:
+    sc = shard_config_for(sg, base, route_cap, eps_route_cap)
+    K = sc.k_local
+    em_r = em_records or (K + max(512, 2048 // sg.num_parts))
+    eps_r = eps_records or max(64, (sc.num_parts * sc.eps_route_cap) // 4)
+    return ShardLatticeConfig(
+        shard=sc,
+        em_records=int(em_r),
+        eps_records=int(eps_r),
+        lattice_beam=float(lattice_beam),
+    )
+
+
+def _rec_from_idx(idx, state_of, arc_of, offset=0):
+    """Map record indices (−1 padded; entries < offset are non-links) to
+    (state, arc) rows."""
+    ok = idx >= offset
+    ci = jnp.where(ok, idx - offset, 0)
+    return jnp.stack(
+        [
+            jnp.where(ok, state_of[ci], -1),
+            jnp.where(ok, arc_of[ci], -1),
+        ],
+        axis=-1,
+    ).astype(jnp.int32), ok
+
+
+def _sharded_lattice_eps_iteration(
+    st, cutoff_rel, pg, cfg: ShardLatticeConfig, axis, eps_off
+):
+    """Routed epsilon relaxation emitting (src_state, arc) link records."""
+    sc = cfg.shard
+    fc = sc.frontier
+    K, Sp, Pn = fc.frontier_size, sc.part_size, sc.num_parts
+    B = st.states.shape[0]
+    me = jax.lax.axis_index(axis).astype(jnp.int32)
+    active = jnp.isfinite(st.costs) & (st.costs <= cutoff_rel)
+    cand = jax.vmap(lambda s, a: expand_eps(s, a, pg, fc))(st, active)
+    ncost = jnp.where(cand.cost <= cutoff_rel, cand.cost, INF)
+    # Route (dst, cost, GLOBAL src state, global arc): the lattice needs
+    # source states, not slots.
+    src_state_g = jnp.where(
+        jnp.isfinite(ncost), st.states[
+            jnp.arange(B)[:, None], cand.src_slot
+        ] + me * Sp, 0
+    )
+    rt = _route(
+        cand.dst, ncost, src_state_g, eps_off + cand.arc_id,
+        Sp, Pn, sc.eps_route_cap, axis,
+    )
+    cand_state = jnp.concatenate([st.states, rt.state_local], axis=1)
+    cand_cost = jnp.concatenate([st.costs, rt.cost], axis=1)
+    rec_ok = jnp.concatenate(
+        [jnp.zeros((K,), bool), jnp.ones((rt.cost.shape[1],), bool)]
+    )
+    sb = cfg.lattice_beam + 1e-4
+    sel = jax.vmap(
+        lambda s, c: dedup_select_rec(
+            s, c, K, Sp, K + cfg.eps_records, slack_beam=sb, rec_ok=rec_ok
+        )
+    )(cand_state, cand_cost)
+    rec_all, is_link = jax.vmap(
+        lambda idx, sg_, ag_: _rec_from_idx(idx, sg_, ag_, offset=K)
+    )(sel.rec_idx, rt.gslot, rt.arc)
+    # Compact to eps_records rows (winner part may duplicate extras).
+    n_idx = sel.rec_idx.shape[1]
+    keykeep = jnp.where(is_link, n_idx - jnp.arange(n_idx)[None, :], 0)
+    _, takepos = jax.lax.top_k(keykeep, cfg.eps_records)
+    got = jnp.take_along_axis(keykeep, takepos, axis=1) > 0
+    rec = jnp.where(
+        got[..., None],
+        jnp.take_along_axis(rec_all, takepos[..., None], axis=1),
+        -1,
+    )
+    changed_local = jnp.any((sel.cand_idx >= K) & jnp.isfinite(sel.costs))
+    changed = jax.lax.pmax(changed_local.astype(jnp.int32), axis) > 0
+    ovf = jnp.any(rt.overflow) | cand.overflow.any() | jnp.any(sel.rec_overflow)
+    sat = jnp.any(sel.num_unique > K)
+    return StepState(sel.states, sel.costs, st.base), rec, changed, ovf, sat
+
+
+def _sharded_lattice_eps_closure(st, cutoff_rel, pg, cfg, axis, eps_off):
+    fc = cfg.shard.frontier
+    D = fc.eps_iters
+    B = st.states.shape[0]
+    if D == 0:
+        f = jnp.bool_(False)
+        return st, jnp.full((0, B, cfg.eps_records, 2), -1, jnp.int32), f, f
+    empty = jnp.full((B, cfg.eps_records, 2), -1, jnp.int32)
+
+    def body(carry, _):
+        cur, stop, ovf, sat = carry
+        nxt, rec, changed, o, s = _sharded_lattice_eps_iteration(
+            cur, cutoff_rel, pg, cfg, axis, eps_off
+        )
+        nxt = jax.tree.map(lambda new, old: jnp.where(stop, old, new), nxt, cur)
+        rec = jnp.where(stop, empty, rec)
+        return (nxt, stop | ~changed, ovf | (~stop & o), sat | (~stop & s)), rec
+
+    f = jnp.bool_(False)
+    (st, _, ovf, sat), recs = jax.lax.scan(
+        body, (st, f, f, f), None, length=D
+    )
+    return st, recs, ovf, sat
+
+
+def _sharded_lattice_frame(
+    st, scores_t, frame_active, pg, cfg: ShardLatticeConfig, axis, em_off, eps_off
+):
+    """One sharded lattice frame: global GetCutoff, expand, route with
+    source states, per-shard dedup + slack-selected records, routed
+    record-emitting eps closure, global rebase."""
+    sc = cfg.shard
+    fc = sc.frontier
+    K, Sp, Pn = fc.frontier_size, sc.part_size, sc.num_parts
+    B = st.states.shape[0]
+    me = jax.lax.axis_index(axis).astype(jnp.int32)
+
+    cutoff, adaptive_beam = _global_cutoff(st, sc, axis)
+    active = jnp.isfinite(st.costs) & (st.costs < cutoff[:, None])
+    cand = jax.vmap(lambda s, a, sct: expand_emitting(s, a, sct, pg, fc))(
+        st, active, scores_t
+    )
+    best_new = _pmin(jnp.min(cand.cost, axis=1), axis)
+    next_cutoff = best_new + adaptive_beam
+    ncost = jnp.where(cand.cost < next_cutoff[:, None], cand.cost, INF)
+
+    src_state_g = jnp.where(
+        jnp.isfinite(ncost),
+        st.states[jnp.arange(B)[:, None], cand.src_slot] + me * Sp,
+        0,
+    )
+    rt = _route(
+        cand.dst, ncost, src_state_g, em_off + cand.arc_id,
+        Sp, Pn, sc.route_cap, axis,
+    )
+    sb = cfg.lattice_beam + 1e-4
+    sel = jax.vmap(
+        lambda s, c: dedup_select_rec(
+            s, c, K, Sp, cfg.em_records, slack_beam=sb
+        )
+    )(rt.state_local, rt.cost)
+    em_rec, _ = jax.vmap(lambda idx, sg_, ag_: _rec_from_idx(idx, sg_, ag_))(
+        sel.rec_idx, rt.gslot, rt.arc
+    )
+    em_sat = jnp.any(sel.num_unique > K)
+    em_ovf = jnp.any(rt.overflow) | cand.overflow.any() | jnp.any(sel.rec_overflow)
+
+    mid = StepState(sel.states, sel.costs, st.base)
+    mid, eps_recs, eps_ovf, eps_sat = _sharded_lattice_eps_closure(
+        mid, next_cutoff[:, None], pg, cfg, axis, eps_off
+    )
+
+    m = _pmin(jnp.min(jnp.where(jnp.isfinite(mid.costs), mid.costs, INF), axis=1), axis)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    out_state = StepState(mid.states, mid.costs - m_safe[:, None], mid.base + m_safe)
+    fa = frame_active
+    final_state = jax.tree.map(
+        lambda new, old: jnp.where(
+            fa.reshape((B,) + (1,) * (new.ndim - 1)), new, old
+        ),
+        out_state,
+        st,
+    )
+    num_active = jax.lax.psum(
+        jnp.sum(jnp.isfinite(mid.costs), axis=1).astype(jnp.int32), axis
+    )
+    ovf_all = jax.lax.pmax((em_ovf | eps_ovf).astype(jnp.int32), axis) > 0
+    sat_all = jax.lax.pmax((em_sat | eps_sat).astype(jnp.int32), axis) > 0
+    D = fc.eps_iters
+    empty_em = jnp.full((B, cfg.em_records, 2), -1, jnp.int32)
+    empty_eps = jnp.full((D, B, cfg.eps_records, 2), -1, jnp.int32)
+    outs = (
+        jnp.where(fa[:, None, None], em_rec, empty_em),
+        jnp.where(fa[None, :, None, None], eps_recs, empty_eps),
+        final_state.states,
+        final_state.base[:, None] + final_state.costs,
+        jnp.where(fa, num_active, 0),
+        st.base + cutoff,
+        fa & ovf_all,
+        fa & sat_all,
+    )
+    return final_state, outs
+
+
+@functools.lru_cache(maxsize=None)
+def _build_sharded_lattice_chunk_fn(
+    cfg: ShardLatticeConfig, mesh, model_axis: str, data_axis
+):
+    """jit(shard_map(...)): per-frame sharded lattice scan.
+
+    Returns (stF, (em_rec (T,B,P*R,2), eps_rec (T,B,D,P*Re,2),
+    frame_states (T,B,K_total local ids), frame_costs (T,B,K_total abs),
+    num_active, cutoff, overflow, saturated — all (T,B)))."""
+    fc = cfg.shard.frontier
+    axis = model_axis
+
+    def chunk(pg_parts, em_off, eps_off, scores, lengths, st0):
+        pg = _pick_local(pg_parts)
+        scores_tm = jnp.moveaxis(scores, 1, 0)
+        ts = jnp.arange(scores_tm.shape[0], dtype=jnp.int32)
+
+        def body(st, inp):
+            sc_t, t = inp
+            return _sharded_lattice_frame(
+                st, sc_t, t < lengths, pg, cfg, axis, em_off[0], eps_off[0]
+            )
+
+        stf, outs = jax.lax.scan(body, st0, (scores_tm, ts))
+        em_rec, eps_rec, fstates, fcosts, num_active, cutoff, ovf, sat = outs
+        eps_rec = jnp.moveaxis(eps_rec, 1, 2)  # (T, B, D, Re, 2)
+        return stf, (
+            em_rec, eps_rec, fstates, fcosts, num_active, cutoff, ovf, sat
+        )
+
+    mspec = P(model_axis)
+    pg_specs = PackedGraph(*([mspec] * len(PackedGraph._fields)))
+    slot = P(data_axis, model_axis)
+    st_spec = StepState(states=slot, costs=slot, base=P(data_axis))
+    bspec = P(None, data_axis)
+    out_specs = (
+        st_spec,
+        (
+            P(None, data_axis, model_axis),  # em_rec (T, B, P*R, 2)
+            P(None, data_axis, None, model_axis),  # eps_rec (T,B,D,P*Re,2)
+            P(None, data_axis, model_axis),  # frame_states (T, B, K_total)
+            P(None, data_axis, model_axis),  # frame_costs
+            bspec, bspec, bspec, bspec,
+        ),
+    )
+    fn = shard_map(
+        chunk,
+        mesh=mesh,
+        in_specs=(
+            pg_specs, mspec, mspec, P(data_axis), P(data_axis), st_spec,
+        ),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_sharded_lattice_init_fn(
+    cfg: ShardLatticeConfig, mesh, model_axis: str, data_axis
+):
+    """Start-state frontier + record-emitting routed eps closure."""
+
+    def init(pg_parts, eps_off, st0):
+        pg = _pick_local(pg_parts)
+        st, recs, _, _ = _sharded_lattice_eps_closure(
+            st0, jnp.float32(INF), pg, cfg, model_axis, eps_off[0]
+        )
+        return st, jnp.moveaxis(recs, 0, 1)  # (B, D, Re, 2)
+
+    mspec = P(model_axis)
+    pg_specs = PackedGraph(*([mspec] * len(PackedGraph._fields)))
+    slot = P(data_axis, model_axis)
+    st_spec = StepState(states=slot, costs=slot, base=P(data_axis))
+    fn = shard_map(
+        init,
+        mesh=mesh,
+        in_specs=(pg_specs, mspec, st_spec),
+        out_specs=(st_spec, P(data_axis, None, model_axis)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class ShardedLatticeDecoder:
+    """Lattice-generating decoder over a state-sharded graph (the sharded
+    LatticeFasterDecoder capability: lattice generation + global
+    adaptive-beam/max-active pruning — BASELINE config #5).
+
+    Host-side results reuse :class:`..decoders.lattice.LatticeResult`
+    unchanged: records carry global (state, arc) ids and per-frame
+    frontiers are concatenated across shards.
+    """
+
+    def __init__(
+        self,
+        graph: CsrGraph,
+        config: Optional[FrontierConfig] = None,
+        lattice_beam: float = 10.0,
+        mesh: Optional[Mesh] = None,
+        model_axis: str = "model",
+        data_axis: str = "data",
+        em_records: Optional[int] = None,
+        eps_records: Optional[int] = None,
+        route_cap: Optional[int] = None,
+        pad_time_to: int = 32,
+    ):
+        from kaldi_decoder_tpu.decoders.frontier import config_for_graph
+
+        if mesh is None:
+            raise ValueError("ShardedLatticeDecoder requires a mesh")
+        self.graph = graph
+        self.mesh = mesh
+        self.model_axis = model_axis
+        self.data_axis = data_axis if data_axis in mesh.axis_names else None
+        self.pad_time_to = pad_time_to
+        self.lattice_beam = float(lattice_beam)
+        P_ = mesh.shape[model_axis]
+        fc = config if config is not None else config_for_graph(graph)
+        self._sg = shard_graph(graph, P_, fc.block_width, fc.eps_block_width)
+        self.cfg = shard_lattice_config_for(
+            self._sg, fc, lattice_beam, em_records, eps_records, route_cap
+        )
+        self._pg_dev = jax.tree.map(jnp.asarray, self._sg.packed)
+        self._em_off = jnp.asarray(self._sg.em_arc_offset)
+        self._eps_off = jnp.asarray(self._sg.eps_arc_offset)
+        self._chunk_fn = _build_sharded_lattice_chunk_fn(
+            self.cfg, mesh, model_axis, self.data_axis
+        )
+        self._init_fn = _build_sharded_lattice_init_fn(
+            self.cfg, mesh, model_axis, self.data_axis
+        )
+
+    def _slot_offsets(self) -> np.ndarray:
+        sc = self.cfg.shard
+        return np.repeat(
+            np.arange(sc.num_parts, dtype=np.int32) * sc.part_size, sc.k_local
+        )
+
+    def _init_state(self, batch: int) -> StepState:
+        sc = self.cfg.shard
+        start = self.graph.start_state
+        owner, local = divmod(start, sc.part_size)
+        states = np.zeros((batch, sc.k_total), np.int32)
+        costs = np.full((batch, sc.k_total), np.float32(np.inf))
+        slot = owner * sc.k_local
+        states[:, slot] = local
+        costs[:, slot] = 0.0
+        return StepState(
+            jnp.asarray(states), jnp.asarray(costs),
+            jnp.zeros((batch,), jnp.float32),
+        )
+
+    def decode(self, scores: np.ndarray, lengths: Optional[np.ndarray] = None):
+        from kaldi_decoder_tpu.decoders.lattice import LatticeResult
+        from kaldi_decoder_tpu.decoders.lattice_dev import LatticeDevConfig
+        from kaldi_decoder_tpu.decoders.viterbi import _round_up
+
+        scores = np.asarray(scores, np.float32)
+        if scores.ndim == 2:
+            scores = scores[None]
+        B, T, V = scores.shape
+        if lengths is None:
+            lengths = np.full((B,), T, np.int32)
+        lengths = np.asarray(lengths, np.int32)
+        bmul = self.mesh.shape[self.data_axis] if self.data_axis else 1
+        Bp = _round_up(B, bmul)
+        Tp = max(_round_up(T, self.pad_time_to), self.pad_time_to)
+        scores_p = np.zeros((Bp, Tp, V), np.float32)
+        scores_p[:B, :T] = scores
+        lengths_p = np.zeros((Bp,), np.int32)
+        lengths_p[:B] = lengths
+
+        st0 = self._init_state(Bp)
+        st0, init_recs = self._init_fn(self._pg_dev, self._eps_off, st0)
+        stf, outs = self._chunk_fn(
+            self._pg_dev, self._em_off, self._eps_off,
+            jnp.asarray(scores_p), jnp.asarray(lengths_p), st0,
+        )
+        em_rec, eps_rec, fstates, fcosts, num_active, cutoff, ovf, sat = outs
+        offs = self._slot_offsets()
+        S = self.graph.num_states
+        init_states = np.minimum(np.asarray(st0.states)[0] + offs, S - 1)
+        init_costs = np.asarray(st0.base)[0, None] + np.asarray(st0.costs)[0]
+        frame_states = np.minimum(np.asarray(fstates) + offs[None, None, :], S - 1)
+        sc = self.cfg.shard
+        result_cfg = LatticeDevConfig(
+            frontier=dataclasses.replace(
+                sc.frontier, frontier_size=sc.k_total
+            ),
+            em_records=sc.num_parts * self.cfg.em_records,
+            eps_records=sc.num_parts * self.cfg.eps_records,
+            lattice_beam=self.lattice_beam,
+        )
+        return LatticeResult(
+            graph=self.graph,
+            cfg=result_cfg,
+            lattice_beam=self.lattice_beam,
+            scores=scores,
+            lengths=lengths,
+            init_states=init_states,
+            init_costs=init_costs,
+            init_eps_records=np.asarray(init_recs)[0],
+            frame_states=frame_states,
+            frame_costs=np.asarray(fcosts),
+            em_records=np.asarray(em_rec),
+            eps_records=np.asarray(eps_rec),
+            num_active=np.asarray(num_active),
+            cutoffs=np.asarray(cutoff),
+            overflows=np.asarray(ovf),
+            saturations=np.asarray(sat),
+            fold=None,
         )

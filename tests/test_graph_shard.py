@@ -84,3 +84,129 @@ class TestShardedGraphViterbi:
         rp, rs = plain.decode(scores), shard.decode(scores)
         for b in range(B):
             assert path_labels(rp.best_path(b)) == path_labels(rs.best_path(b))
+
+
+class TestGlobalCutoff:
+    def test_max_active_matches_unsharded(self, model_mesh):
+        """Global GetCutoff: with max_active binding, the sharded decode
+        must reproduce the unsharded adaptive-beam behavior (the order
+        statistic is over the union of all shards' frontiers)."""
+        rng = np.random.default_rng(9)
+        V, T, B = 5, 12, 2
+        fst = random_fst(60, V, rng, mean_arcs_per_state=5.0)
+        g = compile_fst(fst)
+        scores = np.stack([rand_logp(rng, T, V) for _ in range(B)])
+
+        # Unsharded baseline with the same total capacity (4 shards x 16).
+        cfg_plain = config_for_graph(
+            g, beam=20.0, max_active=6, min_active=2, frontier_size=64
+        )
+        plain = BatchedViterbiDecoder(g, cfg_plain, pad_time_to=8)
+        cfg_shard = config_for_graph(
+            g, beam=20.0, max_active=6, min_active=2, frontier_size=16
+        )
+        shard = ShardedViterbiDecoder(g, cfg_shard, mesh=model_mesh, pad_time_to=8)
+        rp, rs = plain.decode(scores), shard.decode(scores)
+        for b in range(B):
+            lp, ls = rp.best_path(b), rs.best_path(b)
+            assert (lp is None) == (ls is None)
+            if lp is not None:
+                assert path_labels(lp) == path_labels(ls), f"utt {b}"
+                cp = rp.frontier_costs[b][np.isfinite(rp.frontier_costs[b])]
+                cs = rs.frontier_costs[b][np.isfinite(rs.frontier_costs[b])]
+                assert cp.min() == pytest.approx(cs.min(), abs=1e-4)
+                # The adaptive cutoff itself must agree frame by frame.
+                L = int(rp.lengths[b])
+                assert np.allclose(
+                    rp.cutoffs[:L, b], rs.cutoffs[:L, b], atol=1e-4
+                )
+
+
+class TestShardedLattice:
+    def _links(self, pl):
+        out = set()
+        for f in range(pl.num_frames + 1):
+            toks = pl.tokens[f]
+            for lk, fd in (
+                (pl.eps_links[f], f),
+                (pl.em_links[f] if f < pl.num_frames else None, f + 1),
+            ):
+                if lk is None:
+                    continue
+                dtoks = pl.tokens[fd]
+                for i in range(len(lk.src)):
+                    if lk.keep[i]:
+                        out.add(
+                            (f, int(toks.states[lk.src[i]]), fd,
+                             int(dtoks.states[lk.dst[i]]), int(lk.ilabel[i]),
+                             int(lk.olabel[i]),
+                             round(float(lk.graph_cost[i]), 3),
+                             round(float(lk.ac_cost[i]), 3))
+                        )
+        return out
+
+    @pytest.mark.parametrize("seed", [1, 4])
+    def test_matches_unsharded_lattice(self, model_mesh, seed):
+        from kaldi_decoder_tpu.decoders import BatchedLatticeDecoder
+        from kaldi_decoder_tpu.parallel.graph_shard import ShardedLatticeDecoder
+
+        rng = np.random.default_rng(seed)
+        V, T, B = 5, 10, 2
+        fst = random_fst(40, V, rng, mean_arcs_per_state=4.0)
+        g = compile_fst(fst)
+        scores = np.stack([rand_logp(rng, T, V) for _ in range(B)])
+
+        cfg_plain = config_for_graph(
+            g, beam=12.0, min_active=0, frontier_size=64
+        )
+        plain = BatchedLatticeDecoder(
+            g, cfg_plain, lattice_beam=6.0, pad_time_to=8, fold=False,
+            em_records=512, eps_records=256,
+        )
+        cfg_shard = config_for_graph(g, beam=12.0, min_active=0, frontier_size=16)
+        shard = ShardedLatticeDecoder(
+            g, cfg_shard, lattice_beam=6.0, mesh=model_mesh, pad_time_to=8,
+            em_records=128, eps_records=64,
+        )
+        rp, rs = plain.decode(scores), shard.decode(scores)
+        for b in range(B):
+            lp, ls = rp.best_path(b), rs.best_path(b)
+            assert (lp is None) == (ls is None)
+            if lp is None:
+                continue
+            assert path_labels(lp) == path_labels(ls), f"utt {b}"
+            plp, pls = rp._prune(b), rs._prune(b)
+            assert self._links(plp) == self._links(pls), f"utt {b}"
+
+    def test_lattice_max_active(self, model_mesh):
+        """Sharded lattice with a binding global max_active still matches
+        the unsharded decoder (the LatticeFaster union capability)."""
+        from kaldi_decoder_tpu.decoders import BatchedLatticeDecoder
+        from kaldi_decoder_tpu.parallel.graph_shard import ShardedLatticeDecoder
+
+        rng = np.random.default_rng(2)
+        V, T = 5, 10
+        fst = random_fst(60, V, rng, mean_arcs_per_state=5.0)
+        g = compile_fst(fst)
+        scores = rand_logp(rng, T, V)[None]
+
+        cfg_plain = config_for_graph(
+            g, beam=20.0, max_active=6, min_active=2, frontier_size=64
+        )
+        plain = BatchedLatticeDecoder(
+            g, cfg_plain, lattice_beam=6.0, pad_time_to=8, fold=False,
+            em_records=512, eps_records=256,
+        )
+        cfg_shard = config_for_graph(
+            g, beam=20.0, max_active=6, min_active=2, frontier_size=16
+        )
+        shard = ShardedLatticeDecoder(
+            g, cfg_shard, lattice_beam=6.0, mesh=model_mesh, pad_time_to=8,
+            em_records=128, eps_records=64,
+        )
+        rp, rs = plain.decode(scores), shard.decode(scores)
+        lp, ls = rp.best_path(0), rs.best_path(0)
+        assert (lp is None) == (ls is None)
+        if lp is not None:
+            assert path_labels(lp) == path_labels(ls)
+            assert self._links(rp._prune(0)) == self._links(rs._prune(0))
