@@ -159,6 +159,8 @@ class LatticeResult:
     overflows: np.ndarray  # (T, B)
     saturations: np.ndarray  # (T, B) bool — frontier capacity hit
     fold: object = None  # Optional[FoldedGraph] — records carry folded ids
+    # Wall-clock seconds of the device decode + download for this batch.
+    wall_seconds: float = 0.0
 
     def __post_init__(self):
         self._pruned: dict = {}
@@ -238,6 +240,8 @@ class LatticeResult:
             cutoff_per_frame=self.cutoffs[:L, b],
             arc_budget_overflows=int(np.sum(self.overflows[:L, b])),
             frontier_saturated_frames=int(np.sum(self.saturations[:L, b])),
+            wall_seconds=self.wall_seconds,
+            batch_frames=int(np.sum(self.lengths)),
         )
 
 
@@ -339,9 +343,13 @@ class BatchedLatticeDecoder:
             scores_p, lengths_p = scores, lengths
 
         st0, init_states, init_costs, init_recs = self._init(Bp)
-        stf, outs = self._chunk_fn(
-            self._pg_dev, jnp.asarray(scores_p), jnp.asarray(lengths_p), st0
-        )
+        from kaldi_decoder_tpu.utils.profiling import WallTimer, annotate
+
+        with WallTimer() as timer, annotate("kdtpu.lattice_decode"):
+            stf, outs = self._chunk_fn(
+                self._pg_dev, jnp.asarray(scores_p), jnp.asarray(lengths_p), st0
+            )
+            em_records = np.asarray(outs.em_records)  # fetch == sync barrier
         return LatticeResult(
             graph=self.graph,
             cfg=self.cfg,
@@ -353,13 +361,14 @@ class BatchedLatticeDecoder:
             init_eps_records=init_recs,
             frame_states=np.asarray(outs.frontier_states),
             frame_costs=np.asarray(outs.frontier_costs),
-            em_records=np.asarray(outs.em_records),
+            em_records=em_records,
             eps_records=np.asarray(outs.eps_records),
             num_active=np.asarray(outs.num_active),
             cutoffs=np.asarray(outs.cutoff),
             overflows=np.asarray(outs.overflow),
             saturations=np.asarray(outs.saturated),
             fold=self.fold,
+            wall_seconds=timer.elapsed,
         )
 
 
@@ -407,6 +416,7 @@ class _StreamingLattice:
         self._state: Optional[StepState] = None
         self._inc: Optional[IncrementalLattice] = None
         self._stats: List[dict] = []
+        self._wall_s = 0.0
         self._since_prune = 0
         self._finalized = False
         self._pruned_cache: dict = {}
@@ -451,12 +461,19 @@ class _StreamingLattice:
         Tp = _round_up(n_new, self.chunk_pad)
         scores_p = np.zeros((1, Tp, scores.shape[1]), np.float32)
         scores_p[0, :n_new] = scores
-        stf, outs = self._chunk_fn(
-            self._pg_dev, jnp.asarray(scores_p), jnp.array([n_new], jnp.int32),
-            self._state,
-        )
+        from kaldi_decoder_tpu.utils.profiling import WallTimer, annotate
+
+        with WallTimer() as timer, annotate(
+            "kdtpu.advance_decoding", step=self._num_frames_decoded
+        ):
+            stf, outs = self._chunk_fn(
+                self._pg_dev, jnp.asarray(scores_p),
+                jnp.array([n_new], jnp.int32), self._state,
+            )
+            frame_states_all = np.asarray(outs.frontier_states)  # sync barrier
+        self._wall_s += timer.elapsed
         self._state = stf
-        frame_states = np.asarray(outs.frontier_states)[:n_new, 0]
+        frame_states = frame_states_all[:n_new, 0]
         frame_costs = np.asarray(outs.frontier_costs)[:n_new, 0]
         em_records = np.asarray(outs.em_records)[:n_new, 0]
         eps_records = np.asarray(outs.eps_records)[:n_new, 0]
@@ -520,6 +537,8 @@ class _StreamingLattice:
             cutoff_per_frame=cat("cutoffs"),
             arc_budget_overflows=int(np.sum(cat("overflows"))),
             frontier_saturated_frames=int(np.sum(cat("saturations"))),
+            wall_seconds=self._wall_s,
+            batch_frames=T,
         )
 
     def reached_final(self) -> bool:

@@ -241,6 +241,8 @@ class ViterbiResult:
     overflows: np.ndarray  # (T, B) bool
     saturations: np.ndarray  # (T, B) bool — frontier capacity hit
     fold: object = None  # Optional[FoldedGraph]
+    # Wall-clock seconds of the device decode + download for this batch.
+    wall_seconds: float = 0.0
 
     @property
     def batch_size(self) -> int:
@@ -404,6 +406,8 @@ class ViterbiResult:
             cutoff_per_frame=self.cutoffs[:L, b],
             arc_budget_overflows=int(np.sum(self.overflows[:L, b])),
             frontier_saturated_frames=int(np.sum(self.saturations[:L, b])),
+            wall_seconds=self.wall_seconds,
+            batch_frames=int(np.sum(self.lengths)),
         )
 
 
@@ -477,9 +481,15 @@ class BatchedViterbiDecoder:
             st0, bp_init = _folded_init(self.fold, self.cfg, Bp)
         else:
             st0, bp_init = _batched_init(self._pg_dev, self.graph, self.cfg, Bp)
-        stf, outs = self._chunk_fn(
-            self._pg_dev, jnp.asarray(scores_p), jnp.asarray(lengths_p), st0
-        )
+        from kaldi_decoder_tpu.utils.profiling import WallTimer, annotate
+
+        with WallTimer() as timer, annotate("kdtpu.viterbi_decode"):
+            stf, outs = self._chunk_fn(
+                self._pg_dev, jnp.asarray(scores_p), jnp.asarray(lengths_p), st0
+            )
+            # Host fetches below double as the device sync barrier; pull
+            # one array inside the timed region so dispatch isn't free.
+            bp_emit = np.asarray(outs.bp_emit)
         return ViterbiResult(
             graph=self.graph,
             cfg=self.cfg,
@@ -487,7 +497,8 @@ class BatchedViterbiDecoder:
             lengths=lengths,
             bp_init=bp_init,
             fold=self.fold,
-            bp_emit=np.asarray(outs.bp_emit),
+            wall_seconds=timer.elapsed,
+            bp_emit=bp_emit,
             bp_eps=np.asarray(outs.bp_eps),
             frontier_states=np.asarray(stf.states),
             frontier_costs=np.asarray(stf.base)[:, None] + np.asarray(stf.costs),

@@ -48,15 +48,34 @@ class DecodeStats:
     # from the reference's unbounded token stores.  Raise frontier_size
     # (or lower beam/max_active) if this is nonzero on a beam-only decode.
     frontier_saturated_frames: int = 0
+    # Wall-clock seconds of the device decode that produced this result,
+    # covering the whole batch it was part of (0.0 == not measured).
+    wall_seconds: float = 0.0
+    # Total frames decoded across that batch (>= num_frames when batched).
+    batch_frames: int = 0
+
+    @property
+    def frames_per_second(self) -> float:
+        """Batch decode throughput in frames/s (0.0 if unmeasured)."""
+        if self.wall_seconds <= 0.0:
+            return 0.0
+        return (self.batch_frames or self.num_frames) / self.wall_seconds
+
+    def audio_seconds_per_second(self, frame_seconds: float) -> float:
+        """Real-time factor given the acoustic frame rate (e.g. 0.04 for
+        conformer subsampling-4): audio seconds decoded per wall second."""
+        return self.frames_per_second * float(frame_seconds)
 
     def summary(self) -> str:
         if self.active_per_frame is None or self.num_frames == 0:
             return "DecodeStats(empty)"
         act = np.asarray(self.active_per_frame)[: self.num_frames]
+        fps = self.frames_per_second
+        perf = f", frames/s={fps:.0f}" if fps else ""
         return (
             f"DecodeStats(frames={self.num_frames}, "
             f"mean_active={float(act.mean()):.1f}, "
             f"max_active={int(act.max())}, "
             f"overflows={self.arc_budget_overflows}, "
-            f"saturated={self.frontier_saturated_frames})"
+            f"saturated={self.frontier_saturated_frames}{perf})"
         )
