@@ -154,6 +154,102 @@ def random_fst(
     return fst
 
 
+def ngram_fst(
+    sentences: Sequence[Sequence[int]],
+    vocab: Optional[Sequence[int]] = None,
+    discount: float = 0.4,
+) -> StdVectorFst:
+    """Bigram grammar acceptor G with absolute-discounting backoff.
+
+    The reference decodes through HLG graphs whose G is an n-gram LM
+    acceptor built by Kaldi/icefall tooling (`/root/reference/README.md:16-20`);
+    this is the native equivalent so full HLG graphs can be built in-repo.
+    Standard Kaldi G topology:
+
+    * state per word history ``h`` (plus a start state for the ``<s>``
+      history and a backoff/unigram state);
+    * arc ``h --w:w/-log p(w|h)--> state(w)`` for every seen bigram;
+    * epsilon backoff arc ``h --eps/-log bow(h)--> backoff state`` (the
+      eps-input arcs HLG composition and decoding must handle);
+    * from the backoff state, ``w:w/-log p_uni(w)`` for every vocab word;
+    * final weight ``-log p(</s>|h)`` per history (end-of-sentence mass).
+
+    ``sentences`` are sequences of word ids >= 1 (0 is epsilon).  The eps
+    subgraph is a depth-1 DAG (history -> backoff), so the graph is
+    fold-friendly (:mod:`kaldi_decoder_tpu.fst.fold`).
+    """
+    if not 0.0 < discount < 1.0:
+        raise ValueError("discount must be in (0, 1)")
+    uni: dict = {}
+    big: dict = {}
+    EOS = -1  # internal end-of-sentence event key
+    for sent in sentences:
+        hist = 0  # 0 == <s> history (not a word id; word ids are >= 1)
+        for w in sent:
+            w = int(w)
+            if w <= 0:
+                raise ValueError("word ids must be >= 1 (0 is epsilon)")
+            uni[w] = uni.get(w, 0) + 1
+            big[(hist, w)] = big.get((hist, w), 0) + 1
+            hist = w
+        big[(hist, EOS)] = big.get((hist, EOS), 0) + 1
+    if vocab is None:
+        vocab = sorted(uni)
+    vocab = [int(w) for w in vocab]
+    if not vocab:
+        raise ValueError("empty vocabulary")
+
+    # Unigram distribution with add-one smoothing over vocab + </s>.
+    n_tokens = sum(uni.values()) + sum(
+        c for (h, w), c in big.items() if w == EOS
+    )
+    denom_uni = n_tokens + len(vocab) + 1
+    p_uni = {w: (uni.get(w, 0) + 1) / denom_uni for w in vocab}
+    p_uni_eos = (sum(c for (h, w), c in big.items() if w == EOS) + 1) / denom_uni
+
+    # Per-history counts for discounting, and bigrams grouped by history.
+    hist_count: dict = {}
+    by_hist: dict = {}
+    for (h, w), c in big.items():
+        hist_count[h] = hist_count.get(h, 0) + c
+        by_hist.setdefault(h, []).append((w, c))
+
+    fst = StdVectorFst()
+    start = fst.add_state()  # <s> history
+    backoff = fst.add_state()  # unigram state
+    fst.set_start(start)
+    word_state = {w: fst.add_state() for w in vocab}
+
+    def hstate(h: int) -> int:
+        return start if h == 0 else word_state[h]
+
+    nl = np.log
+    # Backoff state: unigram arcs + eos final.
+    for w in vocab:
+        fst.add_arc(backoff, w, w, float(-nl(p_uni[w])), word_state[w])
+    fst.set_final(backoff, float(-nl(p_uni_eos)))
+
+    seen_hists = sorted(hist_count, key=lambda h: (h != 0, h))
+    for h in seen_hists:
+        s = hstate(h)
+        tot = hist_count[h]
+        bow = discount * len(by_hist[h]) / tot
+        fst.add_arc(s, EPSILON, EPSILON, float(-nl(bow)), backoff)
+        for w, c in by_hist[h]:
+            p = (c - discount) / tot
+            if p <= 0:
+                continue
+            if w == EOS:
+                fst.set_final(s, float(-nl(p)))
+            else:
+                fst.add_arc(s, w, w, float(-nl(p)), word_state[w])
+    # Histories never seen (word only at sentence end): pure backoff.
+    for w in vocab:
+        if w not in hist_count:
+            fst.add_arc(word_state[w], EPSILON, EPSILON, 0.0, backoff)
+    return fst
+
+
 def lexicon_fst(
     lexicon: Sequence,
     word_weights: Optional[Sequence[float]] = None,

@@ -24,14 +24,10 @@ from typing import Optional
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-# Source lives in the repo's csrc/ during development; installed wheels
-# ship a copy as package data (pyproject [tool.setuptools.package-data])
-# so the native path works post-install too.
-_SRC_CANDIDATES = (
-    os.path.normpath(os.path.join(_HERE, "..", "..", "csrc", "kdtpu_host.cc")),
-    os.path.join(_HERE, "csrc", "kdtpu_host.cc"),
-)
-_SRC = next((p for p in _SRC_CANDIDATES if os.path.exists(p)), _SRC_CANDIDATES[0])
+# Single source of truth: csrc/ lives inside the package (shipped as
+# package data per pyproject [tool.setuptools.package-data]), so the same
+# file serves development checkouts and installed wheels.
+_SRC = os.path.join(_HERE, "csrc", "kdtpu_host.cc")
 _LIB_DIR = os.path.join(_HERE, "lib")
 _LIB = os.path.join(_LIB_DIR, "libkdtpu_host.so")
 

@@ -37,5 +37,8 @@ def approx_equal_array(a, b, relative_tolerance: float = 0.001):
     b = np.asarray(b, dtype=np.float64)
     exact = a == b
     finite = np.isfinite(a) & np.isfinite(b)
-    rel = np.abs(a - b) <= relative_tolerance * (np.abs(a) + np.abs(b))
+    # Only subtract where both operands are finite: inf - inf would emit a
+    # RuntimeWarning (nan) even though the mask discards the result.
+    diff = np.subtract(a, b, out=np.zeros_like(a), where=finite)
+    rel = np.abs(diff) <= relative_tolerance * (np.abs(a) + np.abs(b))
     return exact | (finite & rel)
