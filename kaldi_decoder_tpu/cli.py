@@ -83,7 +83,7 @@ def cmd_decode(args) -> int:
         out = {
             "utt": path,
             "hyp": hyp,
-            "reached_final": dec.reached_final(),
+            "reached_final": bool(dec.reached_final()),
             "seconds": round(elapsed, 3),
         }
         if args.decoder == "lattice":

@@ -27,7 +27,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,16 +35,14 @@ from kaldi_decoder_tpu.decoders.frontier import (
     FrontierConfig,
     StepState,
     config_for_graph,
-    init_closure,
 )
 from kaldi_decoder_tpu.decoders.viterbi import (
-    BatchedViterbiDecoder,
     ViterbiResult,
     build_chunk_fn,
     _round_up,
 )
 from kaldi_decoder_tpu.fst.csr import CsrGraph, compile_fst
-from kaldi_decoder_tpu.fst.fst import INF, Lattice, StdVectorFst
+from kaldi_decoder_tpu.fst.fst import Lattice, StdVectorFst
 
 INT32_MAX = 2**31 - 1
 
@@ -88,7 +85,7 @@ class _StreamingViterbi:
     chunk_pad: int = 64
 
     def __init__(self, fst, cfg: FrontierConfig, **cfg_overrides):
-        from kaldi_decoder_tpu.fst.pack import pack_graph
+        from kaldi_decoder_tpu.fst.pack import pack_graph_device
 
         self._graph = _as_graph(fst)
         self._cfg = config_for_graph(
@@ -96,11 +93,8 @@ class _StreamingViterbi:
             base=cfg,
             **cfg_overrides,
         )
-        self._pg_dev = jax.tree.map(
-            jnp.asarray,
-            pack_graph(
-                self._graph, self._cfg.block_width, self._cfg.eps_block_width
-            ),
+        self._pg_dev = pack_graph_device(
+            self._graph, self._cfg.block_width, self._cfg.eps_block_width
         )
         self._chunk_fn = build_chunk_fn(self._graph, self._cfg)
         self._reset()

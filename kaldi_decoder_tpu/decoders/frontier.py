@@ -82,6 +82,13 @@ class FrontierConfig:
     eps_rem_budget: int = 1024
     # Epsilon-closure iterations per frame (graph eps depth if known).
     eps_iters: int = 0
+    # True when eps_iters equals the graph's exact (acyclic) eps depth.
+    # False = cyclic-eps fallback: eps_iters is a fixed-point iteration
+    # budget, and a frame whose LAST iteration still improved a token is
+    # flagged via the overflow output (the closure may be incomplete —
+    # `faster-decoder.cc:59-119`'s worklist has no such bound, so this is
+    # the one place the TPU decoder can silently under-relax without it).
+    eps_exact: bool = True
     # Acoustic lookup: one-hot MXU matmul (fast on TPU) vs plain gather.
     score_onehot: bool = True
     # Which capacity fields the caller set explicitly.  None == hand-built
@@ -166,6 +173,7 @@ def config_for_graph(graph: CsrGraph, base: Optional[FrontierConfig] = None, **k
         depth = graph.eps_depth
         if depth is None:
             depth = 16  # cyclic eps subgraph: bounded fixed-point iterations
+            kw.setdefault("eps_exact", False)
         kw.setdefault("eps_iters", depth)
     else:
         kw["eps_block_width"] = 1
@@ -408,12 +416,16 @@ def eps_closure(
         new_stop = stop | ~changed
         return (nxt, new_stop, ovf | (~stop & o), sat | (~stop & s)), bp
 
-    (st, _, ovf, sat), bps = jax.lax.scan(
+    (st, stop, ovf, sat), bps = jax.lax.scan(
         body,
         (st, jnp.bool_(False), jnp.bool_(False), jnp.bool_(False)),
         None,
         length=D,
     )
+    if not cfg.eps_exact:
+        # Cyclic-eps budget: the last iteration still improving means the
+        # fixed point may not have been reached — surface as overflow.
+        ovf = ovf | ~stop
     return st, bps, ovf, sat
 
 
@@ -461,11 +473,16 @@ def eps_closure_batched(
         return it + 1, nxt, go, ovf | (o & row_active), sat | (s & row_active), bps
 
     z = jnp.zeros((B,), bool)
-    _, stf, _, ovf, sat, bps = jax.lax.while_loop(
+    _, stf, go, ovf, sat, bps = jax.lax.while_loop(
         cond,
         body,
         (jnp.int32(0), st, jnp.bool_(True), z, z, bps0),
     )
+    if not cfg.eps_exact:
+        # Cyclic-eps budget exhausted while still improving: flag every
+        # active row (per-row convergence is not tracked by the batch
+        # early-exit).
+        ovf = ovf | (go & row_active)
     return stf, bps, ovf, sat
 
 

@@ -130,6 +130,33 @@ class LatticeFasterDecoderConfig:
 # ---------------------------------------------------------------------------
 
 
+def _merge_tokens(
+    frontier_states: np.ndarray,
+    frontier_costs: np.ndarray,
+    extra_states: np.ndarray,
+    extra_alphas: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sorted-unique union of the device frontier with synthesized tokens.
+
+    Frontier alphas win on collision (they are true per-state minima; a
+    synthesized path-prefix cost is always >= them — see
+    ``FoldedGraph.expand_with_alphas``).  Returns (states, alphas) sorted
+    by state, the layout ``prune_lattice`` tokens expect.
+    """
+    ok = np.isfinite(frontier_costs)
+    fst_states = frontier_states[ok].astype(np.int64)
+    fst_costs = frontier_costs[ok].astype(np.float64)
+    states = np.concatenate([fst_states, np.asarray(extra_states, np.int64)])
+    costs = np.concatenate([fst_costs, np.asarray(extra_alphas, np.float64)])
+    # Stable lexsort with frontier entries first on ties of (state, cost):
+    # sort by (state, cost) and keep the first of each state.
+    order = np.lexsort((costs, states))
+    states, costs = states[order], costs[order]
+    first = np.ones(len(states), bool)
+    first[1:] = states[1:] != states[:-1]
+    return states[first], costs[first]
+
+
 def _as_graph(fst) -> CsrGraph:
     if isinstance(fst, CsrGraph):
         return fst
@@ -159,7 +186,8 @@ class LatticeResult:
     overflows: np.ndarray  # (T, B)
     saturations: np.ndarray  # (T, B) bool — frontier capacity hit
     fold: object = None  # Optional[FoldedGraph] — records carry folded ids
-    # Wall-clock seconds of the device decode + download for this batch.
+    # Wall-clock seconds of the batch device decode incl. one sync
+    # fetch (remaining result downloads happen outside the timer).
     wall_seconds: float = 0.0
 
     def __post_init__(self):
@@ -181,17 +209,32 @@ class LatticeResult:
             )
             if self.fold is not None:
                 # Expand folded arc records back to original-graph em/eps
-                # records (fst/fold.py); init links come from the host
-                # start closure.
+                # records (fst/fold.py), synthesizing any eps-intermediate
+                # token the device frontier evicted (its alpha = record
+                # path prefix cost) so reconstruction never depends on
+                # intermediate frontier survival; init links/tokens come
+                # from the host start closure.
+                sc = self.fold.start
+                fs: list = [None] * (L + 1)
+                fc: list = [None] * (L + 1)
+                fs[0], fc[0] = _merge_tokens(
+                    frame_states[0], frame_costs[0], sc.states,
+                    sc.costs.astype(np.float64),
+                )
                 em_list, eps_list = [], []
                 for t in range(L):
-                    em, eps = self.fold.expand_em_records(
-                        self.em_records[t, b]
+                    em, eps, ts, ta = self.fold.expand_with_alphas(
+                        self.em_records[t, b], fs[t], fc[t],
+                        self.scores[b, t],
                     )
                     em_list.append(em)
                     eps_list.append(eps)
-                init_eps = self.fold.start.eps_records
+                    fs[t + 1], fc[t + 1] = _merge_tokens(
+                        frame_states[t + 1], frame_costs[t + 1], ts, ta
+                    )
+                init_eps = sc.eps_records
                 em_records, eps_records = em_list, eps_list
+                frame_states, frame_costs = fs, fc
             else:
                 init_eps = self.init_eps_records
                 em_records = self.em_records[:L, b]
@@ -284,12 +327,11 @@ class BatchedLatticeDecoder:
         self.pad_time_to = pad_time_to
         self.mesh = mesh
         self._batch_multiple = mesh.devices.size if mesh is not None else 1
-        from kaldi_decoder_tpu.fst.pack import pack_graph
+        from kaldi_decoder_tpu.fst.pack import pack_graph_device
 
         fc2 = self.cfg.frontier
-        self._pg_dev = jax.tree.map(
-            jnp.asarray,
-            pack_graph(dev_graph, fc2.block_width, fc2.eps_block_width),
+        self._pg_dev = pack_graph_device(
+            dev_graph, fc2.block_width, fc2.eps_block_width
         )
         self._chunk_fn = build_lattice_chunk_fn(dev_graph, self.cfg, mesh, data_axis)
 
@@ -317,8 +359,17 @@ class BatchedLatticeDecoder:
         return stb, np.asarray(st.states), np.asarray(st.costs), np.asarray(recs)
 
     def decode(
-        self, scores: np.ndarray, lengths: Optional[np.ndarray] = None
+        self,
+        scores: np.ndarray,
+        lengths: Optional[np.ndarray] = None,
+        chunk_frames: Optional[int] = None,
     ) -> LatticeResult:
+        """Batched lattice decode.
+
+        ``chunk_frames``: decode in fixed-size time chunks through one
+        compiled program (the streaming shape) instead of one T-sized
+        program — avoids per-T recompiles for long/varied utterances.
+        """
         scores = np.asarray(scores, dtype=np.float32)
         if scores.ndim == 2:
             scores = scores[None]
@@ -346,10 +397,31 @@ class BatchedLatticeDecoder:
         from kaldi_decoder_tpu.utils.profiling import WallTimer, annotate
 
         with WallTimer() as timer, annotate("kdtpu.lattice_decode"):
-            stf, outs = self._chunk_fn(
-                self._pg_dev, jnp.asarray(scores_p), jnp.asarray(lengths_p), st0
-            )
-            em_records = np.asarray(outs.em_records)  # fetch == sync barrier
+            if chunk_frames is None:
+                stf, outs = self._chunk_fn(
+                    self._pg_dev, jnp.asarray(scores_p),
+                    jnp.asarray(lengths_p), st0,
+                )
+                em_records = np.asarray(outs.em_records)  # fetch == sync
+            else:
+                # Chunked: re-invoke ONE compiled (B, chunk, V) program with
+                # carried state — no T-dependent recompiles, bounded device
+                # output buffers; host concatenates the per-chunk outputs.
+                C = max(_round_up(chunk_frames, self.pad_time_to), 1)
+                rem = jnp.asarray(lengths_p)
+                stc = st0
+                pieces = []
+                for lo in range(0, Tp, C):
+                    stc, o = self._chunk_fn(
+                        self._pg_dev, jnp.asarray(scores_p[:, lo : lo + C]),
+                        rem, stc,
+                    )
+                    rem = jnp.maximum(rem - C, 0)
+                    pieces.append(jax.tree.map(np.asarray, o))
+                outs = jax.tree.map(
+                    lambda *xs: np.concatenate(xs, axis=0), *pieces
+                )
+                em_records = outs.em_records
         return LatticeResult(
             graph=self.graph,
             cfg=self.cfg,
@@ -401,12 +473,11 @@ class _StreamingLattice:
         self._config = config
         self._prune_interval = int(getattr(config, "prune_interval", 25))
         self._prune_scale = float(getattr(config, "prune_scale", 0.1))
-        from kaldi_decoder_tpu.fst.pack import pack_graph
+        from kaldi_decoder_tpu.fst.pack import pack_graph_device
 
         fcw = self._dev_cfg.frontier
-        self._pg_dev = jax.tree.map(
-            jnp.asarray,
-            pack_graph(self._graph, fcw.block_width, fcw.eps_block_width),
+        self._pg_dev = pack_graph_device(
+            self._graph, fcw.block_width, fcw.eps_block_width
         )
         self._chunk_fn = build_lattice_chunk_fn(self._graph, self._dev_cfg)
         self._reset()

@@ -26,11 +26,10 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from kaldi_decoder_tpu.decoders.frontier import (
     FrontierConfig,
@@ -43,7 +42,7 @@ from kaldi_decoder_tpu.decoders.viterbi import SCAN_UNROLL
 from kaldi_decoder_tpu.fst.csr import CsrGraph
 from kaldi_decoder_tpu.fst.pack import PackedGraph
 from kaldi_decoder_tpu.ops.cutoff import get_cutoff
-from kaldi_decoder_tpu.ops.segment import dedup_select, dedup_select_rec
+from kaldi_decoder_tpu.ops.segment import dedup_select_rec
 
 INF = jnp.inf
 
@@ -207,9 +206,11 @@ def eps_closure_rec(
         return (nxt, stop | ~changed, ovf | (~stop & o), sat | (~stop & s)), rec
 
     f = jnp.bool_(False)
-    (st, _, ovf, sat), recs = jax.lax.scan(
+    (st, stop, ovf, sat), recs = jax.lax.scan(
         body, (st, f, f, f), None, length=D
     )
+    if not cfg.eps_exact:
+        ovf = ovf | ~stop  # cyclic-eps budget: possibly unconverged
     return st, recs, ovf, sat
 
 
@@ -295,11 +296,13 @@ def eps_closure_rec_batched(
         )
 
     z = jnp.zeros((B,), bool)
-    _, stf, _, ovf, sat, recs = jax.lax.while_loop(
+    _, stf, go, ovf, sat, recs = jax.lax.while_loop(
         cond,
         body,
         (jnp.int32(0), st, jnp.bool_(True), z, z, recs0),
     )
+    if not fc.eps_exact:
+        ovf = ovf | (go & row_active)  # cyclic-eps budget: unconverged
     return stf, recs, ovf, sat
 
 

@@ -58,11 +58,28 @@ class OracleLatticeDecoder:
         beam: float = 16.0,
         lattice_beam: float = 10.0,
         deterministic_cutoff: bool = False,
+        max_active: Optional[int] = None,
+        min_active: int = 0,
+        beam_delta: float = 0.5,
     ):
         self.fst = fst
         self.beam = float(beam)
         self.lattice_beam = float(lattice_beam)
         self.deterministic_cutoff = bool(deterministic_cutoff)
+        # GetCutoff parity (`faster-decoder.cc:244-336`): max_active gives
+        # the union capability (LatticeFasterDecoder) the device implements;
+        # it requires the deterministic two-pass mode since the C++
+        # evolving-cutoff order-dependence has no array analogue.
+        if max_active is not None and not deterministic_cutoff:
+            raise ValueError("max_active requires deterministic_cutoff=True")
+        self.max_active = max_active
+        self.min_active = int(min_active)
+        self.beam_delta = float(beam_delta)
+        # Link-admission cutoff of the frame being processed (deterministic
+        # mode): best_new + adaptive_beam, also used by the subsequent
+        # current-token prune and eps closure (lattice_dev.lattice_emit_stage
+        # passes next_cutoff to eps_closure_rec the same way).
+        self._frame_cutoff = INF
         self.active_toks: List[Dict[int, _Tok]] = []  # per frame: state -> tok
         self.cur_toks: Dict[int, _Tok] = {}
         self.final_costs: Dict[int, float] = {}  # state -> final cost (last frame)
@@ -109,16 +126,24 @@ class OracleLatticeDecoder:
         prev_toks = self.cur_toks
         self.cur_toks = {}
         cutoff = INF
+        self._frame_cutoff = INF
+        expand_cutoff, adaptive = self._get_cutoff(prev_toks)
         if self.deterministic_cutoff:
-            # Pass 1: final cutoff = frame_best + beam (see class docstring).
+            # Pass 1: final cutoff = best_new + adaptive_beam (see class
+            # docstring; adaptive_beam == beam unless max_active binds).
             for state, tok in prev_toks.items():
+                if tok.tot_cost >= expand_cutoff:
+                    continue
                 for arc in self.fst.arcs(state):
                     if arc.ilabel == EPSILON:
                         continue
                     ac = -decodable.log_likelihood(frame, arc.ilabel)
                     tot = tok.tot_cost + arc.weight + ac
-                    cutoff = min(cutoff, tot + self.beam)
+                    cutoff = min(cutoff, tot + adaptive)
+            self._frame_cutoff = cutoff
         for state, tok in prev_toks.items():
+            if tok.tot_cost >= expand_cutoff:
+                continue
             for arc in self.fst.arcs(state):
                 if arc.ilabel == EPSILON:
                     continue
@@ -133,11 +158,35 @@ class OracleLatticeDecoder:
                     _Link(nxt, arc.ilabel, arc.olabel, arc.weight, ac)
                 )
 
+    def _get_cutoff(self, toks: Dict[int, "_Tok"]) -> Tuple[float, float]:
+        """GetCutoff over the previous frontier (`faster-decoder.cc:244-336`):
+        (expansion cutoff, adaptive_beam).  Identity when max_active is off
+        (the frontier was already beam-pruned last frame)."""
+        if self.max_active is None or not toks:
+            return INF, self.beam
+        costs = sorted(t.tot_cost for t in toks.values())
+        best = costs[0]
+        beam_cutoff = best + self.beam
+        if len(costs) > self.max_active:
+            max_cut = costs[self.max_active]
+            if max_cut < beam_cutoff:
+                return max_cut, max_cut - best + self.beam_delta
+        if len(costs) > self.min_active > 0:
+            min_cut = costs[self.min_active]
+            if min_cut > beam_cutoff:
+                return min_cut, min_cut - best + self.beam_delta
+        return beam_cutoff, self.beam
+
     def _prune_current_tokens(self):
         if not self.cur_toks:
             return
         best = min(t.tot_cost for t in self.cur_toks.values())
         cutoff = best + self.beam
+        if self.deterministic_cutoff and self._frame_cutoff != INF:
+            # Device parity: the new generation was admitted at
+            # best_new + adaptive_beam and gets no second beam prune
+            # (lattice_dev.lattice_emit_stage -> next_cutoff).
+            cutoff = self._frame_cutoff
         self.cur_toks = {
             s: t for s, t in self.cur_toks.items() if t.tot_cost < cutoff
         }
@@ -150,6 +199,8 @@ class OracleLatticeDecoder:
             return
         best = min(t.tot_cost for t in self.cur_toks.values())
         cutoff = best + self.beam
+        if self.deterministic_cutoff and self._frame_cutoff != INF:
+            cutoff = self._frame_cutoff
         while queue:
             state = queue.pop()
             tok = self.cur_toks[state]

@@ -22,7 +22,7 @@ It is deliberately *slow and obvious*; never used on the device path.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 from kaldi_decoder_tpu.decodable import DecodableInterface
 from kaldi_decoder_tpu.fst.fst import EPSILON, INF, Lattice, StdVectorFst

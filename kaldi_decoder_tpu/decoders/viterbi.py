@@ -20,7 +20,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,12 +32,11 @@ from kaldi_decoder_tpu.decoders.frontier import (
     StepOut,
     StepState,
     config_for_graph,
-    frame_step,
     init_closure,
 )
 from kaldi_decoder_tpu.fst.csr import CsrGraph
 from kaldi_decoder_tpu.fst.fst import INF, Lattice
-from kaldi_decoder_tpu.fst.pack import pack_graph
+from kaldi_decoder_tpu.fst.pack import pack_graph_device
 from kaldi_decoder_tpu.fst.ops import remove_eps_local
 from kaldi_decoder_tpu.utils.logging import DecodeStats, get_logger
 
@@ -241,7 +240,8 @@ class ViterbiResult:
     overflows: np.ndarray  # (T, B) bool
     saturations: np.ndarray  # (T, B) bool — frontier capacity hit
     fold: object = None  # Optional[FoldedGraph]
-    # Wall-clock seconds of the device decode + download for this batch.
+    # Wall-clock seconds of the batch device decode incl. one sync
+    # fetch (remaining result downloads happen outside the timer).
     wall_seconds: float = 0.0
 
     @property
@@ -442,9 +442,8 @@ class BatchedViterbiDecoder:
         self.pad_time_to = pad_time_to
         self.mesh = mesh
         self._batch_multiple = mesh.devices.size if mesh is not None else 1
-        self._pg_dev = jax.tree.map(
-            jnp.asarray,
-            pack_graph(dev_graph, self.cfg.block_width, self.cfg.eps_block_width),
+        self._pg_dev = pack_graph_device(
+            dev_graph, self.cfg.block_width, self.cfg.eps_block_width
         )
         self._chunk_fn = build_chunk_fn(dev_graph, self.cfg, mesh, data_axis)
 

@@ -25,7 +25,7 @@ from typing import NamedTuple, Optional
 
 import numpy as np
 
-from kaldi_decoder_tpu.fst.fst import EPSILON, INF, StdVectorFst
+from kaldi_decoder_tpu.fst.fst import EPSILON, StdVectorFst
 
 
 class GraphArrays(NamedTuple):
@@ -147,6 +147,43 @@ def load_graph(path) -> CsrGraph:
     from kaldi_decoder_tpu.fst.io import read_fst
 
     return compile_fst(read_fst(path))
+
+
+def save_graph_npz(graph: CsrGraph, path) -> None:
+    """Serialize a compiled graph to ``.npz`` (fast reload for large
+    graphs: skips FST parsing, partitioning and eps-depth analysis)."""
+    meta = np.array(
+        [
+            graph.num_states,
+            graph.num_emitting_arcs,
+            graph.num_eps_arcs,
+            graph.start_state,
+            -1 if graph.eps_depth is None else graph.eps_depth,
+            graph.max_em_out_degree,
+            graph.max_eps_out_degree,
+            graph.max_score_idx,
+        ],
+        dtype=np.int64,
+    )
+    np.savez_compressed(path, meta=meta, **graph.arrays._asdict())
+
+
+def load_graph_npz(path) -> CsrGraph:
+    """Inverse of :func:`save_graph_npz`."""
+    z = np.load(path)
+    meta = z["meta"]
+    ga = GraphArrays(**{k: z[k] for k in GraphArrays._fields})
+    return CsrGraph(
+        arrays=ga,
+        num_states=int(meta[0]),
+        num_emitting_arcs=int(meta[1]),
+        num_eps_arcs=int(meta[2]),
+        start_state=int(meta[3]),
+        eps_depth=None if meta[4] < 0 else int(meta[4]),
+        max_em_out_degree=int(meta[5]),
+        max_eps_out_degree=int(meta[6]),
+        max_score_idx=int(meta[7]),
+    )
 
 
 def _eps_depth(S: int, eps_row_ptr: np.ndarray, eps_next: np.ndarray) -> Optional[int]:

@@ -25,7 +25,7 @@ algorithms vectorizable and makes the CSR flattening a concatenation.
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Tuple
 
 import numpy as np
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 import heapq
 from typing import List, Optional, Tuple
 
-from kaldi_decoder_tpu.fst.fst import EPSILON, INF, Lattice, StdVectorFst, VectorFst
+from kaldi_decoder_tpu.fst.fst import EPSILON, INF, StdVectorFst, VectorFst
 
 
 # ---------------------------------------------------------------------------

@@ -13,7 +13,7 @@ testing of the device decoders against the numpy oracle.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -133,19 +133,129 @@ def paths_to_fst(paths: Sequence[Path]) -> Lattice:
 
 
 def determinize_lattice(
-    lat: Lattice, n: int = 100, beam: Optional[float] = None
+    lat: Lattice,
+    beam: Optional[float] = None,
+    max_states: int = 1_000_000,
 ) -> Lattice:
-    """Word-determinized lattice: best alignment/cost per word sequence.
+    """Exact weighted determinization over word sequences
+    (DeterminizeLatticePruned semantics: the reference's
+    ``determinize_lattice`` flag, `lattice-simple-decoder.h:57-60`).
 
-    Implemented by bounded n-best extraction with word-sequence dedup
-    (`determinize_lattice` flag semantics, lattice-simple-decoder.h:57-60).
-    ``beam`` additionally drops word sequences worse than best + beam.
+    Output: a *deterministic* word-level lattice — from any state, at most
+    one out-arc per word — containing **every** word sequence of the input
+    with its exact minimal (graph, acoustic) cost, built by weighted
+    subset construction over the olabel projection.  With ``beam``, paths
+    worse than ``best + beam`` are pruned *during* construction using
+    exact cost-to-final lower bounds (the "Pruned" in
+    DeterminizeLatticePruned), which is what keeps worst-case blowup away
+    on decoder output lattices.
+
+    Token-level alignments are not carried on the word arcs (our
+    ``Lattice`` arcs hold single labels, not strings); the best alignment
+    of any word sequence is recoverable exactly from the raw lattice via
+    :func:`nbest` (paths carry ilabels), matching the capability split
+    the reference delegates to downstream Kaldi tooling.
+
+    Weight pairs (g, a) compare by ``g + a`` (LatticeWeight order); the
+    minimal pair is extracted onto arcs, residuals stay in subset
+    elements, rounded to 1e-6 for subset hashing.
     """
-    paths = nbest(lat, n, unique_word_sequences=True)
-    if beam is not None and paths:
-        best = min(g + a for _, _, g, a in paths)
-        paths = [p for p in paths if p[2] + p[3] <= best + beam]
-    return paths_to_fst(paths)
+    if lat.start < 0:
+        return Lattice()
+    beta = _beta(lat)
+    if beta[lat.start] == INF:
+        return Lattice()
+    limit = INF if beam is None else beta[lat.start] + beam + 1e-9
+
+    def closure(elems: Dict[int, Tuple[float, float]], alpha: float):
+        """Relax word-eps arcs (olabel == 0) to a fixed point; prune
+        elements that cannot reach a final state within the beam."""
+        work = list(elems.items())
+        out = dict(elems)
+        while work:
+            s, (g, a) = work.pop()
+            for arc in lat.arcs(s):
+                if arc.olabel != EPSILON:
+                    continue
+                ng, na = g + arc.weight[0], a + arc.weight[1]
+                if alpha + ng + na + beta[arc.nextstate] > limit:
+                    continue
+                cur = out.get(arc.nextstate)
+                if cur is None or ng + na < cur[0] + cur[1]:
+                    out[arc.nextstate] = (ng, na)
+                    work.append((arc.nextstate, (ng, na)))
+        return {
+            s: w for s, w in out.items() if alpha + w[0] + w[1] + beta[s] <= limit
+        }
+
+    def normalize(elems: Dict[int, Tuple[float, float]]):
+        """Extract the minimal weight pair; key the residual subset."""
+        mng, mna = min(elems.values(), key=lambda w: w[0] + w[1])
+        resid = {s: (g - mng, a - mna) for s, (g, a) in elems.items()}
+        key = frozenset(
+            (s, round(g, 6), round(a, 6)) for s, (g, a) in resid.items()
+        )
+        return key, (mng, mna), resid
+
+    out = Lattice()
+    start_elems = closure({lat.start: (0.0, 0.0)}, 0.0)
+    if not start_elems:
+        return Lattice()
+    # No weight extraction at the start subset (a Lattice has no initial
+    # weight); its residuals are absolute. lat.start has residual (0, 0)
+    # so they are already normalized in the usual case.
+    key0 = frozenset(
+        (s, round(g, 6), round(a, 6)) for s, (g, a) in start_elems.items()
+    )
+    ids: Dict[frozenset, int] = {key0: out.add_state()}
+    out.set_start(ids[key0])
+    info = {ids[key0]: (start_elems, 0.0, (0.0, 0.0))}
+    queue = [ids[key0]]
+    done = set()
+    while queue:
+        sid = queue.pop()
+        if sid in done:
+            continue
+        done.add(sid)
+        resid, alpha, _ = info[sid]
+        # Final weight: min over final elements.
+        fg, fa = INF, INF
+        for s, (g, a) in resid.items():
+            if lat.is_final(s):
+                wg, wa = lat.final(s)
+                if g + wg + a + wa < fg + fa:
+                    fg, fa = g + wg, a + wa
+        if fg + fa < INF:
+            out.set_final(sid, (fg, fa))
+        # Group outgoing word arcs.
+        by_word: Dict[int, Dict[int, Tuple[float, float]]] = {}
+        for s, (g, a) in resid.items():
+            for arc in lat.arcs(s):
+                if arc.olabel == EPSILON:
+                    continue
+                ng, na = g + arc.weight[0], a + arc.weight[1]
+                if alpha + ng + na + beta[arc.nextstate] > limit:
+                    continue
+                d = by_word.setdefault(arc.olabel, {})
+                cur = d.get(arc.nextstate)
+                if cur is None or ng + na < cur[0] + cur[1]:
+                    d[arc.nextstate] = (ng, na)
+        for w, elems in sorted(by_word.items()):
+            elems = closure(elems, alpha)
+            if not elems:
+                continue
+            key, (wg, wa), resid_n = normalize(elems)
+            if key not in ids:
+                if len(ids) >= max_states:
+                    raise RuntimeError(
+                        f"determinize_lattice exceeded {max_states} states; "
+                        "pass a (smaller) beam"
+                    )
+                ids[key] = out.add_state()
+                info[ids[key]] = (resid_n, alpha + wg + wa, (wg, wa))
+                queue.append(ids[key])
+            out.add_arc(sid, w, w, (wg, wa), ids[key])
+    return out
 
 
 def scale_lattice(

@@ -29,7 +29,7 @@ small, so host time is negligible next to the device scan.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 

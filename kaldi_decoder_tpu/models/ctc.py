@@ -11,7 +11,6 @@ bf16-ready), not a competitive ASR model.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

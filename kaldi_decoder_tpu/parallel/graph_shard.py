@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -419,7 +419,9 @@ def _global_cutoff(st: StepState, cfg: ShardConfig, axis):
     return cutoff, adaptive
 
 
-def _sharded_frame(st, scores_t, frame_active, pg, cfg: ShardConfig, axis, my_base, em_off, eps_off):
+def _sharded_frame(
+    st, scores_t, frame_active, pg, cfg: ShardConfig, axis, my_base, em_off, eps_off
+):
     """One sharded frame: local expand -> route -> local dedup -> routed
     eps closure -> global rebase."""
     fc = cfg.frontier

@@ -17,7 +17,7 @@ how the driver's ``dryrun_multichip`` validates it.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -71,7 +71,13 @@ class DecodeStats:
             return "DecodeStats(empty)"
         act = np.asarray(self.active_per_frame)[: self.num_frames]
         fps = self.frames_per_second
-        perf = f", frames/s={fps:.0f}" if fps else ""
+        # Throughput is batch-level (batch_frames / wall_seconds), not this
+        # single utterance's rate — label it as such.
+        perf = (
+            f", batch_frames/s={fps:.0f} ({self.batch_frames} frames)"
+            if fps
+            else ""
+        )
         return (
             f"DecodeStats(frames={self.num_frames}, "
             f"mean_active={float(act.mean()):.1f}, "

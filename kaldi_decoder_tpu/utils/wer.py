@@ -8,7 +8,7 @@ equivalent so in-repo end-to-end decodes report the same metric.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 
 def edit_distance(ref: Sequence, hyp: Sequence) -> Tuple[int, int, int, int]:

@@ -1,12 +1,14 @@
 #!/usr/bin/env python
 """Decompose bench.py's 'compile+first chunk' time stage by stage."""
+import pathlib
 import sys, time
 
-sys.path.insert(0, "/root/repo")
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
 import numpy as np
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
@@ -49,7 +51,9 @@ float(np.asarray(st.base))
 log("init closure done")
 
 rng = np.random.default_rng(SEED)
-scores = np.log(rng.dirichlet(np.ones(V), size=(B, T)).astype(np.float32)).astype(np.float32)
+scores = np.log(
+    rng.dirichlet(np.ones(V), size=(B, T)).astype(np.float32)
+).astype(np.float32)
 lengths = jnp.full((B,), CHUNK, jnp.int32)
 st0 = StepState(
     states=jnp.broadcast_to(st.states, (B,) + st.states.shape),

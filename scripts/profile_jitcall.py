@@ -1,12 +1,14 @@
 #!/usr/bin/env python
 """Is the 247s first-chunk latency specific to the jit.__call__ path?"""
+import pathlib
 import sys, time
 
-sys.path.insert(0, "/root/repo")
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
 import numpy as np
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
@@ -36,7 +38,9 @@ log("decoder built")
 
 ga = dec._pg_dev
 rng = np.random.default_rng(SEED)
-scores = np.log(rng.dirichlet(np.ones(V), size=(B, T)).astype(np.float32)).astype(np.float32)
+scores = np.log(
+    rng.dirichlet(np.ones(V), size=(B, T)).astype(np.float32)
+).astype(np.float32)
 lengths = jnp.full((B,), CHUNK, jnp.int32)
 st, _ = init_closure_rec(ga, graph.start_state, graph.num_states, dec.cfg)
 st0 = StepState(

@@ -11,7 +11,7 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 
-from kaldi_decoder_tpu.decoders.frontier import StepState, config_for_graph
+from kaldi_decoder_tpu.decoders.frontier import config_for_graph
 from kaldi_decoder_tpu.decoders.lattice_dev import (
     build_lattice_chunk_fn,
     lattice_config_for_graph,

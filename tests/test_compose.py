@@ -8,13 +8,11 @@ output strings to B's input strings) — the defining property of weighted
 composition over the tropical semiring.
 """
 
-import itertools
-
 import numpy as np
 import pytest
 
 from kaldi_decoder_tpu.fst.fst import EPSILON, StdVectorFst
-from kaldi_decoder_tpu.fst.ops import compose, shortest_path, path_labels
+from kaldi_decoder_tpu.fst.ops import compose, path_labels
 from kaldi_decoder_tpu.fst.topo import ctc_topo, lexicon_fst
 
 

@@ -178,6 +178,62 @@ class TestShardedLattice:
             plp, pls = rp._prune(b), rs._prune(b)
             assert self._links(plp) == self._links(pls), f"utt {b}"
 
+    def test_hl_scale_parity(self, model_mesh):
+        """Sharded lattice parity at HL scale (VERDICT r2 weak #4): the
+        ~10k-state compose(ctc_topo, lexicon) fixture from test_scale,
+        decoded by the 4-shard lattice decoder with a binding max_active,
+        must reproduce the unsharded best path and exact link set."""
+        from kaldi_decoder_tpu.decoders import BatchedLatticeDecoder
+        from kaldi_decoder_tpu.fst.ops import compose
+        from kaldi_decoder_tpu.fst.topo import lexicon_fst
+        from kaldi_decoder_tpu.parallel.graph_shard import ShardedLatticeDecoder
+
+        rng = np.random.default_rng(0)
+        V, T = 50, 30
+        lex = []
+        for w in range(600):
+            ln = int(rng.integers(3, 9))
+            lex.append((1000 + w, rng.integers(1, V, size=ln).tolist()))
+        L = lexicon_fst(lex, word_weights=rng.uniform(0, 4, len(lex)).tolist())
+        g = compile_fst(compose(ctc_topo(V), L))
+        assert g.num_states > 5000, "must be at realistic HL scale"
+
+        ids = []
+        srng = np.random.default_rng(42)
+        while len(ids) < T:
+            _, toks = lex[int(srng.integers(len(lex)))]
+            ids.extend(toks)
+            ids.append(0)
+        logp = np.log(srng.dirichlet(np.ones(V) * 0.3, size=T))
+        logp[np.arange(T), np.array(ids[:T])] += 3.2
+        logp -= np.log(np.exp(logp).sum(1, keepdims=True))
+        scores = logp.astype(np.float32)[None]
+
+        kw = dict(beam=8.0, max_active=1500, min_active=100)
+        cfg_plain = config_for_graph(g, frontier_size=4096, **kw)
+        plain = BatchedLatticeDecoder(
+            g, cfg_plain, lattice_beam=5.0, pad_time_to=T, fold=False,
+            em_records=12288, eps_records=2048,
+        )
+        cfg_shard = config_for_graph(g, frontier_size=2048, **kw)
+        shard = ShardedLatticeDecoder(
+            g, cfg_shard, lattice_beam=5.0, mesh=model_mesh, pad_time_to=T,
+            em_records=8192, eps_records=1024,
+        )
+        rp, rs = plain.decode(scores), shard.decode(scores)
+        stp = rp.stats(0)
+        assert float(np.max(stp.active_per_frame)) >= 1000, "too easy"
+        assert stp.arc_budget_overflows == 0
+        assert stp.frontier_saturated_frames == 0
+        lp, ls = rp.best_path(0), rs.best_path(0)
+        assert lp is not None and ls is not None
+        assert path_labels(lp) == path_labels(ls)
+        plinks, slinks = self._links(rp._prune(0)), self._links(rs._prune(0))
+        missing = plinks - slinks
+        extra = slinks - plinks
+        assert not missing, f"{len(missing)} missing, e.g. {sorted(missing)[:3]}"
+        assert not extra, f"{len(extra)} extra, e.g. {sorted(extra)[:3]}"
+
     def test_lattice_max_active(self, model_mesh):
         """Sharded lattice with a binding global max_active still matches
         the unsharded decoder (the LatticeFaster union capability)."""

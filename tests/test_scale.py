@@ -31,6 +31,8 @@ from kaldi_decoder_tpu.fst import compile_fst, path_labels, path_total_cost
 from kaldi_decoder_tpu.fst.ops import compose
 from kaldi_decoder_tpu.fst.topo import ctc_topo, lexicon_fst
 
+from tests._lattice_util import device_link_set, oracle_link_set
+
 V = 50
 BEAM = 8.0
 LATTICE_BEAM = 5.0
@@ -82,59 +84,6 @@ def make_scores(lex, rng, peak=3.2):
     logp[np.arange(T), ids] += peak
     logp -= np.log(np.exp(logp).sum(1, keepdims=True))
     return logp.astype(np.float32)
-
-
-def oracle_link_set(d: OracleLatticeDecoder):
-    """Canonical link set {(f_src, state_src, f_dst, state_dst, il, ol,
-    g, a)} from the oracle's pruned token structure."""
-    where = {}
-    for f, toks in enumerate(d.active_toks):
-        for state, tok in toks.items():
-            where[id(tok)] = (f, state)
-    links = set()
-    for f, toks in enumerate(d.active_toks):
-        for state, tok in toks.items():
-            for l in tok.links:
-                if id(l.next_tok) not in where:
-                    continue
-                fd, sd = where[id(l.next_tok)]
-                links.add(
-                    (f, state, fd, sd, l.ilabel, l.olabel,
-                     round(float(l.graph_cost), 3), round(float(l.ac_cost), 3))
-                )
-    return links
-
-
-def device_link_set(res, b=0):
-    """Same canonical link set from the device result's pruned lattice."""
-    pl = res._prune(b)
-    assert pl is not None
-    links = set()
-    for f in range(pl.num_frames + 1):
-        toks = pl.tokens[f]
-        for lk, fd in (
-            (pl.eps_links[f], f),
-            (pl.em_links[f] if f < pl.num_frames else None, f + 1),
-        ):
-            if lk is None:
-                continue
-            dtoks = pl.tokens[fd]
-            for i in range(len(lk.src)):
-                if not lk.keep[i]:
-                    continue
-                links.add(
-                    (
-                        f,
-                        int(toks.states[lk.src[i]]),
-                        fd,
-                        int(dtoks.states[lk.dst[i]]),
-                        int(lk.ilabel[i]),
-                        int(lk.olabel[i]),
-                        round(float(lk.graph_cost[i]), 3),
-                        round(float(lk.ac_cost[i]), 3),
-                    )
-                )
-    return links
 
 
 class TestHLScaleParity:
