@@ -90,7 +90,6 @@ def build_hlg_workload():
 
     CACHE_DIR.mkdir(exist_ok=True)
     gpath = CACHE_DIR / f"hlg_v{V}_w{HLG_WORDS}_s{SEED}.npz"
-    apath = CACHE_DIR / f"hlg_aux_v{V}_w{HLG_WORDS}_s{SEED}.npz"
     rng = np.random.default_rng(SEED)
     lex = random_lexicon(HLG_WORDS, V, rng, 3, 8)
     corpus = sample_corpus(HLG_WORDS, HLG_SENTS_SHORT, rng, mean_len=HLG_LEN_SHORT)

@@ -186,6 +186,57 @@ def load_graph_npz(path) -> CsrGraph:
     )
 
 
+class _ArcView(NamedTuple):
+    ilabel: int
+    olabel: int
+    weight: float
+    nextstate: int
+
+
+class CsrFstView:
+    """Read-only FST interface over a compiled :class:`CsrGraph`.
+
+    Lets FST-consuming host code (the oracle decoders, graph inspectors)
+    run directly on a compiled/cached graph without materializing a
+    ``StdVectorFst``.  Arc order: emitting arcs first, then epsilon arcs
+    (the partition order of ``compile_fst``).
+    """
+
+    def __init__(self, graph: CsrGraph):
+        self._g = graph
+        self._ga = graph.arrays
+
+    @property
+    def start(self) -> int:
+        return self._g.start_state
+
+    @property
+    def num_states(self) -> int:
+        return self._g.num_states
+
+    def final(self, state: int) -> float:
+        return float(self._ga.final_cost[state])
+
+    def num_input_epsilons(self, state: int) -> int:
+        ga = self._ga
+        return int(ga.eps_row_ptr[state + 1] - ga.eps_row_ptr[state])
+
+    def arcs(self, state: int):
+        ga = self._ga
+        for a in range(int(ga.em_row_ptr[state]), int(ga.em_row_ptr[state + 1])):
+            yield _ArcView(
+                int(ga.em_ilabel[a]), int(ga.em_olabel[a]),
+                float(ga.em_weight[a]), int(ga.em_next[a]),
+            )
+        for a in range(
+            int(ga.eps_row_ptr[state]), int(ga.eps_row_ptr[state + 1])
+        ):
+            yield _ArcView(
+                0, int(ga.eps_olabel[a]),
+                float(ga.eps_weight[a]), int(ga.eps_next[a]),
+            )
+
+
 def _eps_depth(S: int, eps_row_ptr: np.ndarray, eps_next: np.ndarray) -> Optional[int]:
     """Longest chain length in the epsilon subgraph; None if cyclic.
 

@@ -18,6 +18,21 @@ its ``frontier_size`` cheapest states).  Backpointers use *global* slot
 ids (``device * K_local + slot``), so the host backtrace and results
 machinery (:class:`kaldi_decoder_tpu.decoders.viterbi.ViterbiResult`) is
 reused unchanged.
+
+**Why epsilon precomposition (``fst/fold.py``) is NOT used here** (the
+unsharded decoders fold by default, worth ~15% single-chip throughput):
+a folded composite arc collapses an emitting arc plus an eps chain whose
+intermediate states generally live on *other* shards.  Sharding the
+folded graph would (a) route each composite directly to its final owner,
+skipping the shards that own the intermediates — so the host lattice
+expansion would need cross-shard alpha context the routing no longer
+carries — and (b) concentrate the eps-dense hub states' composite
+fan-out (backoff hubs have thousands of arcs) onto single shards,
+skewing the all_to_all.  Runtime closure instead routes eps candidates
+through their owners with the same global-cutoff semantics, preserving
+exact parity with the unsharded decoder (proven at HL scale in
+``tests/test_graph_shard.py``).  The measured single-chip overhead of
+the sharded program vs the unsharded one is reported in BASELINE.md.
 """
 
 from __future__ import annotations

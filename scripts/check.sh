@@ -9,6 +9,9 @@ cd "$(dirname "$0")/.."
 echo "== syntax gate =="
 python -m compileall -q kaldi_decoder_tpu tests scripts bench.py __graft_entry__.py
 
+echo "== style gate =="
+python scripts/check_style.py
+
 echo "== native build =="
 python - <<'PY'
 from kaldi_decoder_tpu import native
