@@ -56,6 +56,9 @@ BEAM = 15.0
 MAX_ACTIVE = 4000
 LATTICE_BEAM = 8.0
 EM_RECORDS = int(os.environ.get("KDTPU_BENCH_EM_RECORDS", "4096"))
+REM_BUDGET = int(os.environ.get("KDTPU_BENCH_REM", "8192"))
+EPS_REM_BUDGET = int(os.environ.get("KDTPU_BENCH_EPS_REM", "2048"))
+FRONTIER = int(os.environ.get("KDTPU_BENCH_FRONTIER", "4096"))
 GRAPH_KIND = os.environ.get("KDTPU_BENCH_GRAPH", "hlg")
 CACHE_DIR = REPO / ".bench_cache"
 
@@ -152,9 +155,9 @@ def make_decoder(graph):
         beam=BEAM,
         max_active=MAX_ACTIVE,
         min_active=200,
-        frontier_size=4096,
-        rem_budget=8192,
-        eps_rem_budget=2048,
+        frontier_size=FRONTIER,
+        rem_budget=REM_BUDGET,
+        eps_rem_budget=EPS_REM_BUDGET,
     )
     return BatchedLatticeDecoder(
         graph, fc, lattice_beam=LATTICE_BEAM,
@@ -217,7 +220,7 @@ def e2e_with_lattices(graph, dec, scores, lengths, refs):
     from kaldi_decoder_tpu.fst import path_labels
 
     t0 = time.time()
-    res = dec.decode(scores, lengths)
+    res = dec.decode(scores, lengths, chunk_frames=CHUNK_FRAMES)
     t_dev = time.time() - t0
     hyps = []
     t1 = time.time()

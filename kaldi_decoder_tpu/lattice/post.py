@@ -69,7 +69,12 @@ def nbest(
     if beta[lat.start] == INF:
         return []
     counter = itertools.count()
-    # (priority, tiebreak, state, g_graph, g_ac, ilabels, olabels)
+    # (priority, tiebreak, state, g_graph, g_ac, ilabels, olabels).
+    # state == -1 marks a *completion event*: finishing at a final state is
+    # queued at its exact total cost rather than emitted when the state
+    # pops — a final state's pop priority uses beta (which may prefer
+    # continuing), so eager emission could record a non-minimal path for a
+    # word sequence and mis-order the output.
     heap = [(beta[lat.start], next(counter), lat.start, 0.0, 0.0, (), ())]
     out: List[Path] = []
     seen_words = set()
@@ -77,12 +82,25 @@ def nbest(
     while heap and len(out) < n and expansions < max_expansions:
         prio, _, s, gg, ga, ils, ols = heapq.heappop(heap)
         expansions += 1
+        if s == -1:
+            if not unique_word_sequences or ols not in seen_words:
+                seen_words.add(ols)
+                out.append((ils, ols, gg, ga))
+            continue
         if lat.is_final(s):
             fw = lat.final(s)
-            key = ols
-            if not unique_word_sequences or key not in seen_words:
-                seen_words.add(key)
-                out.append((ils, ols, gg + fw[0], ga + fw[1]))
+            heapq.heappush(
+                heap,
+                (
+                    gg + fw[0] + ga + fw[1],
+                    next(counter),
+                    -1,
+                    gg + fw[0],
+                    ga + fw[1],
+                    ils,
+                    ols,
+                ),
+            )
         for arc in lat.arcs(s):
             w = arc.weight
             ng, na = gg + w[0], ga + w[1]
@@ -209,15 +227,20 @@ def determinize_lattice(
     )
     ids: Dict[frozenset, int] = {key0: out.add_state()}
     out.set_start(ids[key0])
-    info = {ids[key0]: (start_elems, 0.0, (0.0, 0.0))}
-    queue = [ids[key0]]
+    info = {ids[key0]: (start_elems, 0.0)}
+    # Best-first (Dijkstra) order over det states by alpha — the cheapest
+    # accumulated extraction to reach the subset.  Arc extractions are
+    # nonnegative, so the first pop settles the true minimal alpha; this
+    # matters for beam pruning: a subset reachable along two det paths
+    # must be pruned against its *cheapest* alpha, not its first-seen one.
+    queue = [(0.0, ids[key0])]
     done = set()
     while queue:
-        sid = queue.pop()
+        alpha, sid = heapq.heappop(queue)
         if sid in done:
             continue
         done.add(sid)
-        resid, alpha, _ = info[sid]
+        resid, alpha = info[sid]
         # Final weight: min over final elements.
         fg, fa = INF, INF
         for s, (g, a) in resid.items():
@@ -245,6 +268,7 @@ def determinize_lattice(
             if not elems:
                 continue
             key, (wg, wa), resid_n = normalize(elems)
+            child_alpha = alpha + wg + wa
             if key not in ids:
                 if len(ids) >= max_states:
                     raise RuntimeError(
@@ -252,8 +276,12 @@ def determinize_lattice(
                         "pass a (smaller) beam"
                     )
                 ids[key] = out.add_state()
-                info[ids[key]] = (resid_n, alpha + wg + wa, (wg, wa))
-                queue.append(ids[key])
+                info[ids[key]] = (resid_n, child_alpha)
+                heapq.heappush(queue, (child_alpha, ids[key]))
+            elif child_alpha < info[ids[key]][1] and ids[key] not in done:
+                # Cheaper det path to the same subset: lazy decrease-key.
+                info[ids[key]] = (resid_n, child_alpha)
+                heapq.heappush(queue, (child_alpha, ids[key]))
             out.add_arc(sid, w, w, (wg, wa), ids[key])
     return out
 

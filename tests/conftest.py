@@ -29,3 +29,23 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables between test modules.
+
+    The suite compiles hundreds of jitted programs across 8 virtual CPU
+    devices; accumulated executables/thread pools eventually segfault the
+    CPU client deep into the run (observed repeatedly in full-suite runs
+    at the same test while every module passes in isolation).  Dropping
+    executable caches per module keeps the process footprint flat; jitted
+    functions recompile lazily if reused.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()

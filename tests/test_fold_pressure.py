@@ -133,6 +133,25 @@ class TestFoldUnderPressure:
         )
         assert recall > 0.8
 
+    def test_chunked_decode_equals_one_shot(self, hlg_setup):
+        """decode(chunk_frames=...) re-invokes one compiled chunk program
+        with carried state; the assembled result must equal the one-shot
+        decode exactly (lattice link set and best path)."""
+        g, G, scores, lengths, oracle = hlg_setup
+        fc = config_for_graph(
+            G, beam=BEAM, max_active=MAX_ACTIVE, min_active=0,
+            frontier_size=2048,
+        )
+        dec = BatchedLatticeDecoder(
+            G, fc, lattice_beam=LATTICE_BEAM, em_records=16384,
+            eps_records=2048, pad_time_to=8, fold=True,
+        )
+        r1 = dec.decode(scores, lengths)
+        r2 = dec.decode(scores, lengths, chunk_frames=40)
+        lp, lc = r1.best_path(0), r2.best_path(0)
+        assert path_labels(lp) == path_labels(lc)
+        assert device_link_set(r1) == device_link_set(r2)
+
     def test_expand_with_alphas_synthesizes_evicted_intermediate(self):
         """Unit check of the fix: a record whose eps chain crosses a state
         missing from the frontier yields that state as a synthesized token

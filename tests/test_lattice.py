@@ -277,6 +277,26 @@ class TestPost:
         for _, ols, g, a in paths:
             assert g + a == pytest.approx(orig[ols], abs=1e-3)
 
+    def test_nbest_suboptimal_final_stop_not_emitted_first(self):
+        """Regression: a final state whose *stopping* cost is worse than
+        continuing must not claim its word sequence at the higher cost —
+        completions are heap events popped at exact total cost."""
+        from kaldi_decoder_tpu.fst.fst import Lattice
+
+        lat = Lattice()
+        s0, s1, s2 = (lat.add_state() for _ in range(3))
+        lat.set_start(s0)
+        lat.add_arc(s0, 1, 1, (0.0, 0.0), s1)
+        lat.set_final(s1, (5.0, 0.0))  # stopping here costs 5
+        lat.add_arc(s1, 2, 0, (0.0, 0.0), s2)  # continuing is free
+        lat.set_final(s2, (0.0, 0.0))
+        paths = nbest(lat, 5, unique_word_sequences=True)
+        assert paths[0][1] == (1,)
+        assert paths[0][2] + paths[0][3] == pytest.approx(0.0)
+        # non-unique: both completions, cheapest first
+        both = [g + a for _, ols, g, a in nbest(lat, 5) if ols == (1,)]
+        assert both == pytest.approx([0.0, 5.0])
+
     def test_determinize_is_label_deterministic(self):
         det = determinize_lattice(self._small_lattice())
         for s in range(det.num_states):
