@@ -222,11 +222,14 @@ def e2e_with_lattices(graph, dec, scores, lengths, refs):
     t0 = time.time()
     res = dec.decode(scores, lengths, chunk_frames=CHUNK_FRAMES)
     t_dev = time.time() - t0
-    hyps = []
     t1 = time.time()
-    for b in range(B):
-        best = res.best_path(b)
-        hyps.append(path_labels(best) if best is not None else [])
+    # Host finalization is embarrassingly parallel per utterance (pure
+    # numpy on independent data; big ops release the GIL).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(B, 8)) as ex:
+        bests = list(ex.map(res.best_path, range(B)))
+    hyps = [path_labels(b) if b is not None else [] for b in bests]
     t_host = time.time() - t1
     audio_s = float(lengths.sum()) * FRAME_SECONDS
     e2e = audio_s / (t_dev + t_host)
