@@ -202,6 +202,12 @@ class Candidates(NamedTuple):
     dst: jnp.ndarray  # (N,) int32
     cost: jnp.ndarray  # (N,) float32, +inf invalid
     src_slot: jnp.ndarray  # (N,) int32
+    # Source STATE per lane (st.states[src_slot], materialized for free at
+    # expansion: a broadcast for block lanes, and it rides the remainder
+    # path's existing owner-indexed gathers).  Lattice record payload —
+    # XLA dead-code-eliminates it for the Viterbi decoder, which only
+    # uses src_slot.
+    src_state: jnp.ndarray  # (N,) int32
     arc_id: jnp.ndarray  # (N,) int32, global arc index
     overflow: jnp.ndarray  # () bool — remainder budget exceeded
 
@@ -271,10 +277,15 @@ def expand_emitting(
     # Acoustic scores fused in (decodable-ctc.cc:22-29 lookup).
     ac = -score_lookup(sidx_all, scores_t, cfg.score_onehot)
     cost = cost + ac  # inf + finite stays inf
+    state_blk = jnp.broadcast_to(safe[:, None], (K, W))
+    state_rem = jnp.broadcast_to(safe[lm.owner][:, None], (Ru, G))
     return Candidates(
         dst=dst,
         cost=cost,
         src_slot=jnp.concatenate([src_blk.reshape(-1), src_rem.reshape(-1)]),
+        src_state=jnp.concatenate(
+            [state_blk.reshape(-1), state_rem.reshape(-1)]
+        ),
         arc_id=jnp.concatenate([arc_blk.reshape(-1), arc_rem.reshape(-1)]),
         overflow=lm.total > Ru,
     )
@@ -311,10 +322,12 @@ def expand_eps(
         lm.valid, st.costs[lm.owner] + _bitcast_f32(rows[:, 0]), INF
     )
 
+    state_blk = jnp.broadcast_to(safe[:, None], (K, W))
     return Candidates(
         dst=jnp.concatenate([nxt.reshape(-1), rows[:, 1]]),
         cost=jnp.concatenate([cost_blk.reshape(-1), cost_rem]),
         src_slot=jnp.concatenate([src_blk.reshape(-1), lm.owner]),
+        src_state=jnp.concatenate([state_blk.reshape(-1), safe[lm.owner]]),
         arc_id=jnp.concatenate([arc_blk.reshape(-1), arc_rem]),
         overflow=lm.total > R,
     )

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from kaldi_decoder_tpu.decoders.frontier import (
+    NO_ARC,
     FrontierConfig,
     StepState,
     expand_emitting,
@@ -148,35 +149,30 @@ def eps_iteration_rec(
 
     cand_state = jnp.concatenate([st.states, cand.dst])
     cand_cost = jnp.concatenate([st.costs, ncost])
-    # Incumbent entries (first K) are carried tokens, not links.
-    rec_ok = jnp.concatenate(
-        [jnp.zeros((K,), bool), jnp.ones(cand.dst.shape, bool)]
+    # Incumbent entries (first K) are carried tokens, not links; their
+    # payload is -1 so a stray row would be host-filtered anyway.
+    pay_src = jnp.concatenate(
+        [jnp.full((K,), -1, jnp.int32), cand.src_state]
     )
+    pay_arc = jnp.concatenate(
+        [jnp.full((K,), NO_ARC, jnp.int32), cand.arc_id]
+    )
+    # Budget K + r_eps so fresh winner links never crowd out the slack
+    # extras; the record columns come back valid-first (winner links,
+    # then ascending slack), so the first r_eps rows ARE the compaction.
     sel = dedup_select_rec(
         cand_state, cand_cost, K, num_states, K + r_eps,
-        slack_beam=slack_beam, rec_ok=rec_ok,
+        slack_beam=slack_beam, num_incumbents=K,
+        payload=(pay_src, pay_arc),
     )
-    # Records: the slack-selected extras plus any winner that is a fresh
-    # link (not an incumbent carry-over).
-    idx = sel.rec_idx
-    is_link = idx >= K
-    ci = jnp.where(is_link, idx - K, 0)
-    rec_all = jnp.stack(
-        [
-            jnp.where(is_link, st.states[cand.src_slot[ci]], -1),
-            jnp.where(is_link, cand.arc_id[ci], -1),
-        ],
-        axis=-1,
-    ).astype(jnp.int32)
-    # Keep the buffer at r_eps rows: winners that are links usually also
-    # appear among the extras, but compact to be safe.
-    keykeep = jnp.where(is_link, idx.shape[0] - jnp.arange(idx.shape[0]), 0)
-    _, takepos = jax.lax.top_k(keykeep, r_eps)
-    got = keykeep[takepos] > 0
-    rec = jnp.where(got[:, None], rec_all[takepos], -1)
+    rec = jnp.stack(
+        [sel.recs[0][:r_eps], sel.recs[1][:r_eps]], axis=-1
+    )
+    # A valid row just beyond the slice means links were dropped.
+    spill = sel.recs[1][r_eps] >= 0
     # changed: any selected slot won via a fresh candidate (index >= K).
     changed = jnp.any((sel.cand_idx >= K) & jnp.isfinite(sel.costs))
-    ovf = cand.overflow | sel.rec_overflow
+    ovf = cand.overflow | sel.rec_overflow | spill
     sat = sel.num_unique > K
     return StepState(sel.states, sel.costs, st.base), rec, changed, ovf, sat
 
@@ -238,19 +234,14 @@ def lattice_emit_stage(
     ncost = jnp.where(nvalid, cand.cost, INF)
 
     # Dedup + frontier selection + records in one fused op: winners
-    # first (lattice connectivity guaranteed), then smallest-slack extras.
+    # first (lattice connectivity guaranteed), then smallest-slack
+    # extras.  The (src_state, arc_id) record columns ride the sorts as
+    # payload operands — no post-hoc gathers.
     sel = dedup_select_rec(
-        cand.dst, ncost, K, num_states, r_em, slack_beam=slack_beam
+        cand.dst, ncost, K, num_states, r_em, slack_beam=slack_beam,
+        payload=(cand.src_state, cand.arc_id),
     )
-    ok_r = sel.rec_idx >= 0
-    safe_r = jnp.where(ok_r, sel.rec_idx, 0)
-    em_rec = jnp.stack(
-        [
-            jnp.where(ok_r, st.states[cand.src_slot[safe_r]], -1),
-            jnp.where(ok_r, cand.arc_id[safe_r], -1),
-        ],
-        axis=-1,
-    ).astype(jnp.int32)
+    em_rec = jnp.stack(sel.recs, axis=-1)
     mid = StepState(sel.states, sel.costs, st.base)
     ovf = cand.overflow | sel.rec_overflow
     sat = sel.num_unique > K

@@ -80,64 +80,55 @@ class SelectionRec(NamedTuple):
     costs: jnp.ndarray
     cand_idx: jnp.ndarray
     num_unique: jnp.ndarray
-    # Record compaction riding the same state-sort: candidate indices of
-    # ALL valid candidates, packed to the front (state-grouped order),
-    # -1 padded.  The ForwardLink analogue comes for free.
-    rec_idx: jnp.ndarray  # (R,) int32
-    rec_overflow: jnp.ndarray  # () bool — more valid candidates than R
+    # Lattice records: a tuple of (R,) arrays (one per payload input, or a
+    # single candidate-index array when no payload was given), -1 padded.
+    # Winner links ride first, then smallest-slack extras — see
+    # dedup_select_rec.  NOT aligned with frontier slots; consumers treat
+    # records as a masked set (lattice/prune.py filters arc >= 0).
+    recs: tuple
+    rec_overflow: jnp.ndarray  # () bool — eligible links exceeded R
 
 
-def _dedup_core(cand_state, cand_cost, k, num_states):
-    """Shared core: one state-sort, segmented min, top-k selection.
+def _sort_by_state(cand_state, cand_cost, num_states, payload=()):
+    """One stable 2-key sort by (state, cost).
 
-    Returns (Selection, sorted candidate idx i2, valid-candidate count,
-    (s2, c2, leader, cmin, imin) sorted-domain aux arrays).
-    One single-key sort + one scan + one ``top_k``: measured faster on TPU
-    than two sorts (sort ~1.9ms vs top_k ~1.2ms at N~45k, B=8), and the
-    state-sort doubles as record compaction (invalids sort to the end).
+    With cost as the second key, each equal-state run is internally
+    cost-ascending, so the run's FIRST lane is its per-state minimum —
+    the scatter-min winner — with ties keeping the earliest candidate
+    (matching HashList keep-existing-on-tie when incumbents are passed
+    first, `hash-list-inl.h:128-173`).  Payload arrays ride the sort as
+    extra operands: on TPU each extra operand costs ~15% of the sort,
+    far cheaper than a post-hoc random gather of the same data
+    (measured: 0.23ms sort vs 1.4ms for a 20k-element gather at B=8).
     """
     n = cand_state.shape[0]
     invalid = ~jnp.isfinite(cand_cost)
     skey = jnp.where(invalid, num_states, cand_state)
     idx = jnp.arange(n, dtype=jnp.int32)
-    # Sort by state only (stable: equal states keep candidate order).
-    s2, c2, i2 = jax.lax.sort((skey, cand_cost, idx), num_keys=1)
-    leader = jnp.concatenate([jnp.ones((1,), bool), s2[1:] != s2[:-1]])
-    # Segmented min over each equal-state run, via an inclusive scan on the
-    # reversed array so every run's *first* element ends up holding the
-    # run's min.  Ties keep the earliest candidate (matching HashList
-    # keep-existing-on-tie when incumbents are passed first,
-    # hash-list-inl.h:128-173).
-    def op(a, b):
-        fa, ca, ia = a
-        fb, cb, ib = b
-        take_b = fb | (cb <= ca)  # b = earlier original candidate
-        return (
-            fa | fb,
-            jnp.where(take_b, cb, ca),
-            jnp.where(take_b, ib, ia),
-        )
-
-    last = jnp.concatenate([(s2[:-1] != s2[1:]), jnp.ones((1,), bool)])
-    _, cmin_r, imin_r = jax.lax.associative_scan(
-        op, (last[::-1], c2[::-1], i2[::-1])
+    s2, c2, i2, *pay2 = jax.lax.sort(
+        (skey, cand_cost, idx) + tuple(payload), num_keys=2
     )
-    cmin, imin = cmin_r[::-1], imin_r[::-1]
-    lcost = jnp.where(leader & (s2 < num_states), cmin, INF)
-    # K cheapest run leaders are the new frontier.  top_k ties keep the
-    # lower index, i.e. the earlier state-sorted position — the same
-    # tie-break a stable cost-sort gives.
+    leader = jnp.concatenate([jnp.ones((1,), bool), s2[1:] != s2[:-1]])
+    return s2, c2, i2, tuple(pay2), leader
+
+
+def _select(s2, c2, i2, leader, k: int, num_states: int):
+    """K cheapest run leaders form the new frontier (no scan needed: the
+    leader lane already holds the run minimum after the 2-key sort).
+    Returns (Selection, pos) with ``pos`` the winning sorted positions."""
+    lcost = jnp.where(leader & (s2 < num_states), c2, INF)
+    # top_k ties keep the lower index, i.e. the earlier state-sorted
+    # position — the same tie-break a stable cost-sort gives.
     neg, pos = jax.lax.top_k(-lcost, k)
     costs = -neg
     live = jnp.isfinite(costs)
     sel = Selection(
         states=jnp.where(live, s2[pos], 0).astype(jnp.int32),
         costs=costs,
-        cand_idx=jnp.where(live, imin[pos], -1).astype(jnp.int32),
+        cand_idx=jnp.where(live, i2[pos], -1).astype(jnp.int32),
         num_unique=jnp.sum(jnp.isfinite(lcost)).astype(jnp.int32),
     )
-    num_valid = (n - jnp.sum(invalid)).astype(jnp.int32)
-    return sel, i2, num_valid, (s2, c2, leader, cmin, imin, pos, live)
+    return sel, pos
 
 
 def dedup_select(
@@ -152,7 +143,8 @@ def dedup_select(
     end with cost +inf); ``cand_idx`` recovers backpointer info for each
     selected slot.
     """
-    sel, _, _, _ = _dedup_core(cand_state, cand_cost, k, num_states)
+    s2, c2, i2, _, leader = _sort_by_state(cand_state, cand_cost, num_states)
+    sel, _ = _select(s2, c2, i2, leader, k, num_states)
     return sel
 
 
@@ -163,90 +155,103 @@ def dedup_select_rec(
     num_states: int,
     r: int,  # record buffer capacity (static)
     slack_beam: float = INF,  # lattice_beam: links above can never survive
-    rec_ok: Optional[jnp.ndarray] = None,  # (N,) candidates eligible as records
+    num_incumbents: int = 0,  # leading candidates that are carried tokens,
+    # not links (the eps-relaxation incumbent-first pattern)
+    payload: Optional[tuple] = None,  # (N,) int32 arrays to emit as records
 ) -> SelectionRec:
     """dedup_select + lattice record selection by link slack.
 
     Records (`lattice-simple-decoder.cc:393-398`) are the frontier
-    winners' own candidate indices (every surviving token's BEST incoming
-    link — lattice connectivity and the exact best path are never lost to
-    record overflow) plus up to ``r - k`` extra links chosen by smallest
-    **slack** ``cand_cost - winner_cost(dst)``.  A link's eventual
-    extra cost in the backward sweep is ``extra(dst) + slack >= slack``
-    (`lattice-simple-decoder.cc:254-296`), so links with
-    ``slack > lattice_beam`` are *provably* pruned later and are filtered
-    out here for free — the budget holds exactly the links that can still
-    matter, and record overflow means actual potential lattice loss, with
-    the largest-slack (least likely to survive) links dropped first.
+    winners' own links (every surviving token's BEST incoming link —
+    lattice connectivity and the exact best path are never lost to
+    record overflow) plus up to the remaining budget of extra links
+    chosen by smallest **slack** ``cand_cost - winner_cost(dst)``.  A
+    link's eventual extra cost in the backward sweep is
+    ``extra(dst) + slack >= slack`` (`lattice-simple-decoder.cc:254-296`),
+    so links with ``slack > lattice_beam`` are *provably* pruned later
+    and are filtered out here for free — the budget holds exactly the
+    links that can still matter, and record overflow means actual
+    potential lattice loss, with the largest-slack (least likely to
+    survive) links dropped first.
 
-    ``rec_ok`` masks candidates that are not links at all (e.g. incumbent
-    frontier tokens passed through an epsilon relaxation).
+    The record columns are ``payload`` values carried through the sorts
+    (zero gathers); with ``payload=None`` the single record column is the
+    candidate index.  Records come out winners-first then slack-ascending
+    — consumers must treat them as a masked set, not slot-aligned rows.
     """
-    sel, i2, num_valid, (s2, c2, leader, cmin, imin, pos, live) = _dedup_core(
-        cand_state, cand_cost, k, num_states
+    if payload is None:
+        n = cand_state.shape[0]
+        payload = (jnp.arange(n, dtype=jnp.int32),)
+    s2, c2, i2, pay2, leader = _sort_by_state(
+        cand_state, cand_cost, num_states, payload
     )
+    sel, pos = _select(s2, c2, i2, leader, k, num_states)
+    n = c2.shape[0]
+
     if r <= k:
-        rec_idx = sel.cand_idx[:r]
-        overflow = num_valid > r
+        # Winners-only budget: records are the frontier winners in slot
+        # order (the 1-best Viterbi-forest mode).
+        posk = pos[:r]
+        okr = jnp.isfinite(sel.costs[:r])
+        if num_incumbents:
+            okr = okr & (sel.cand_idx[:r] >= num_incumbents)
+        recs = tuple(
+            jnp.where(okr, p[posk], -1).astype(jnp.int32) for p in pay2
+        )
+        num_valid = jnp.sum(jnp.isfinite(c2)).astype(jnp.int32)
         return SelectionRec(
             states=sel.states,
             costs=sel.costs,
             cand_idx=sel.cand_idx,
             num_unique=sel.num_unique,
-            rec_idx=rec_idx,
-            rec_overflow=overflow,
+            recs=recs,
+            rec_overflow=num_valid > r,
         )
 
-    # Broadcast each run's (min cost, argmin, made-the-frontier flag) from
-    # its leader over the run (forward segmented fill), giving
-    # per-candidate slack, winner id and destination-token liveness.
-    n = c2.shape[0]
-    sel_leader = jnp.zeros((n,), bool).at[jnp.where(live, pos, n)].set(
-        True, mode="drop"
-    )
-
+    # Per-lane run minimum via a segmented forward fill (copy the leader's
+    # cost down its run); one small 2-tuple scan.
     def fill_op(a, b):
-        fa, ca, ia, sa = a
-        fb, cb, ib, sb = b
-        return (
-            fa | fb,
-            jnp.where(fb, cb, ca),
-            jnp.where(fb, ib, ia),
-            jnp.where(fb, sb, sa),
-        )
+        fa, ca = a
+        fb, cb = b
+        return (fa | fb, jnp.where(fb, cb, ca))
 
-    _, run_min, run_imin, run_sel = jax.lax.associative_scan(
-        fill_op,
-        (
-            leader,
-            jnp.where(leader, cmin, 0.0),
-            jnp.where(leader, imin, 0),
-            sel_leader,
-        ),
-    )
+    _, run_min = jax.lax.associative_scan(fill_op, (leader, c2))
     slack = c2 - run_min
+
+    # Did this lane's run make the frontier?  Exactly when its minimum is
+    # within the K-th selected leader cost (sel.costs is ascending; empty
+    # slots are +inf so a non-full frontier keeps every live run).  On a
+    # boundary cost-tie under saturation this may admit a run top_k
+    # dropped — a stray record into a token absent from the next
+    # frontier, which the host link collector discards (prune.py filters
+    # dst tokens), so only budget is spent, never correctness.
+    run_sel = run_min <= sel.costs[k - 1]
+    finite = jnp.isfinite(c2)
+    is_link = i2 >= num_incumbents if num_incumbents else jnp.ones((n,), bool)
+    win_link = leader & run_sel & finite & is_link
     extra_ok = (
-        jnp.isfinite(c2)
-        & (slack <= slack_beam)
-        & (i2 != run_imin)  # the winner itself rides in sel.cand_idx
-        & run_sel  # links into tokens dropped from the frontier are dead
+        (~leader) & run_sel & finite & is_link & (slack <= slack_beam)
     )
-    if rec_ok is not None:
-        extra_ok = extra_ok & rec_ok[i2]
-    # Smallest-slack extras first; ties keep state-sorted order.
-    key = jnp.where(extra_ok, -slack, -INF)
-    _, pos = jax.lax.top_k(key, r - k)
-    got = extra_ok[pos]
-    fill = jnp.where(got, i2[pos], -1)
-    rec_idx = jnp.concatenate([sel.cand_idx, fill]).astype(jnp.int32)
-    overflow = jnp.sum(extra_ok) > (r - k)
+    # Winner links first (key -1 guarantees them a slot), then extras by
+    # ascending slack; the stable sort keeps state-sorted order on ties.
+    key = jnp.where(win_link, -1.0, jnp.where(extra_ok, slack, INF))
+    sorted2 = jax.lax.sort((key,) + pay2, num_keys=1)
+    take = min(r, n)
+    ok_r = sorted2[0][:take] < INF
+    recs = tuple(
+        jnp.where(ok_r, p[:take], -1).astype(jnp.int32) for p in sorted2[1:]
+    )
+    if take < r:  # record budget beyond the candidate count: pad
+        pad = jnp.full((r - take,), -1, jnp.int32)
+        recs = tuple(jnp.concatenate([p, pad]) for p in recs)
+    rec_overflow = jnp.sum(key < INF) > r
     return SelectionRec(
         states=sel.states,
         costs=sel.costs,
         cand_idx=sel.cand_idx,
         num_unique=sel.num_unique,
-        rec_idx=rec_idx,
-        rec_overflow=overflow,
+        recs=recs,
+        rec_overflow=rec_overflow,
     )
 
 

@@ -792,20 +792,18 @@ def _sharded_lattice_eps_iteration(
     )
     cand_state = jnp.concatenate([st.states, rt.state_local], axis=1)
     cand_cost = jnp.concatenate([st.costs, rt.cost], axis=1)
-    rec_ok = jnp.concatenate(
-        [jnp.zeros((K,), bool), jnp.ones((rt.cost.shape[1],), bool)]
-    )
     sb = cfg.lattice_beam + 1e-4
     sel = jax.vmap(
         lambda s, c: dedup_select_rec(
-            s, c, K, Sp, K + cfg.eps_records, slack_beam=sb, rec_ok=rec_ok
+            s, c, K, Sp, K + cfg.eps_records, slack_beam=sb,
+            num_incumbents=K,
         )
     )(cand_state, cand_cost)
     rec_all, is_link = jax.vmap(
         lambda idx, sg_, ag_: _rec_from_idx(idx, sg_, ag_, offset=K)
-    )(sel.rec_idx, rt.gslot, rt.arc)
+    )(sel.recs[0], rt.gslot, rt.arc)
     # Compact to eps_records rows (winner part may duplicate extras).
-    n_idx = sel.rec_idx.shape[1]
+    n_idx = sel.recs[0].shape[1]
     keykeep = jnp.where(is_link, n_idx - jnp.arange(n_idx)[None, :], 0)
     _, takepos = jax.lax.top_k(keykeep, cfg.eps_records)
     got = jnp.take_along_axis(keykeep, takepos, axis=1) > 0
@@ -883,7 +881,7 @@ def _sharded_lattice_frame(
         )
     )(rt.state_local, rt.cost)
     em_rec, _ = jax.vmap(lambda idx, sg_, ag_: _rec_from_idx(idx, sg_, ag_))(
-        sel.rec_idx, rt.gslot, rt.arc
+        sel.recs[0], rt.gslot, rt.arc
     )
     em_sat = jnp.any(sel.num_unique > K)
     em_ovf = jnp.any(rt.overflow) | cand.overflow.any() | jnp.any(sel.rec_overflow)

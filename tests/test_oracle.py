@@ -249,7 +249,7 @@ class TestDedupSelectRec:
                 for i in np.flatnonzero(np.isfinite(c)).tolist()
                 if int(st_np[i]) in live_states
             }
-            got = {int(x) for x in np.asarray(b.rec_idx) if x >= 0}
+            got = {int(x) for x in np.asarray(b.recs[0]) if x >= 0}
             assert got == want
             assert not bool(np.asarray(b.rec_overflow))
 
@@ -264,11 +264,14 @@ class TestDedupSelectRec:
         c = jnp.asarray(np.array([2.0, 3.0, 4.0, 5.0, 11.0], np.float32))
         K = 4
         b = dedup_select_rec(st, c, K, 2, K + 4, slack_beam=5.0)
-        got = {int(x) for x in np.asarray(b.rec_idx) if x >= 0}
+        got = {int(x) for x in np.asarray(b.recs[0]) if x >= 0}
         assert got == {0, 1, 2, 3}  # slack-9 candidate filtered
         assert not bool(np.asarray(b.rec_overflow))
-        # Budget of 2 extras: smallest slacks (1, 2) kept, overflow flagged.
-        b = dedup_select_rec(st, c, K, 2, K + 2, slack_beam=5.0)
-        extras = [int(x) for x in np.asarray(b.rec_idx)[K:] if x >= 0]
-        assert extras == [1, 2]
+        # Records come out winners-first then slack-ascending: with a
+        # K=2 frontier and only 3 record slots the winner (idx 0) and the
+        # two smallest-slack extras (1, 2) survive, and the dropped
+        # slack-3 link flags overflow.
+        b = dedup_select_rec(st, c, 2, 2, 3, slack_beam=5.0)
+        rows = [int(x) for x in np.asarray(b.recs[0]) if x >= 0]
+        assert rows == [0, 1, 2]
         assert bool(np.asarray(b.rec_overflow))
