@@ -94,7 +94,8 @@ class _StreamingViterbi:
             **cfg_overrides,
         )
         self._pg_dev = pack_graph_device(
-            self._graph, self._cfg.block_width, self._cfg.eps_block_width
+            self._graph, self._cfg.block_width, self._cfg.eps_block_width,
+            self._cfg.flat_group,
         )
         self._chunk_fn = build_chunk_fn(self._graph, self._cfg)
         self._reset()

@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from kaldi_decoder_tpu.fst.csr import CsrGraph
 from kaldi_decoder_tpu.fst.pack import EM_FIELDS, EPS_FIELDS, FLAT_GROUP, PackedGraph
 from kaldi_decoder_tpu.ops.cutoff import get_cutoff
-from kaldi_decoder_tpu.ops.segment import dedup_select, map_lanes, score_lookup
+from kaldi_decoder_tpu.ops.segment import dedup_select, score_lookup
 
 INF = jnp.inf
 
@@ -80,6 +80,10 @@ class FrontierConfig:
     # Epsilon block width and remainder budget.
     eps_block_width: int = 4
     eps_rem_budget: int = 1024
+    # Emitting arcs per remainder row gather (fst/pack.py FLAT_GROUP).
+    # Row gathers are width-free up to ~128 int32s, so big groups cut the
+    # remainder gather count; ragged ends waste ~G/2 lanes per fat state.
+    flat_group: int = 4
     # Epsilon-closure iterations per frame (graph eps depth if known).
     eps_iters: int = 0
     # True when eps_iters equals the graph's exact (acyclic) eps depth.
@@ -114,8 +118,8 @@ class FrontierConfig:
 
     @property
     def num_candidates(self) -> int:
-        units = -(-self.rem_budget // FLAT_GROUP)
-        return self.frontier_size * self.block_width + units * FLAT_GROUP
+        units = -(-self.rem_budget // self.flat_group)
+        return self.frontier_size * self.block_width + units * self.flat_group
 
 
 def _next_pow2(x: int) -> int:
@@ -134,6 +138,7 @@ def config_for_graph(graph: CsrGraph, base: Optional[FrontierConfig] = None, **k
     kw.setdefault("min_active", cfg.min_active)
     kw.setdefault("beam_delta", cfg.beam_delta)
     kw.setdefault("score_onehot", cfg.score_onehot)
+    kw.setdefault("flat_group", cfg.flat_group)
 
     K = kw.get("frontier_size", cfg.frontier_size)
     K = max(8, min(K, _next_pow2(max(graph.num_states, 2))))
@@ -216,6 +221,21 @@ def _bitcast_f32(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(x, jnp.float32)
 
 
+def _owner_of_lanes(n_units: jnp.ndarray, budget: int) -> jnp.ndarray:
+    """Which slot owns each of ``budget`` flat lanes, given per-slot unit
+    counts (segment starts scattered + running max; map_lanes semantics,
+    but withOUT the per-lane ``within`` gathers — callers recover per-slot
+    fields through one fused info-row gather instead)."""
+    K = n_units.shape[0]
+    csum = jnp.cumsum(n_units)
+    starts = csum - n_units
+    slot_ids = jnp.arange(K, dtype=jnp.int32)
+    owner0 = jnp.zeros(budget, jnp.int32).at[
+        jnp.where(n_units > 0, starts, budget)
+    ].max(slot_ids, mode="drop")
+    return jax.lax.associative_scan(jnp.maximum, owner0), starts, csum[-1]
+
+
 def expand_emitting(
     st: StepState,
     active: jnp.ndarray,  # (K,) bool
@@ -247,29 +267,47 @@ def expand_emitting(
     )
 
     # Remainder lanes: arcs W.. of fat states, exact via lane mapping over
-    # FLAT_GROUP-arc units — each row gather covers FLAT_GROUP arcs, since
-    # gather cost is per row (see fst/pack.py).
-    from kaldi_decoder_tpu.fst.pack import FLAT_GROUP as G
-
+    # flat_group-arc units — each row gather covers G arcs, since gather
+    # cost is per row (see fst/pack.py).  Every per-slot field a remainder
+    # lane needs (unit base, segment start, tail range, cost, state) rides
+    # ONE fused info-row gather indexed by the lane's owner — element
+    # gathers at this width cost ~0.4 ms each at bench scale, and the
+    # naive formulation needs seven of them (this was the actual frame
+    # wall; the sort pipeline measures ~0.9 ms — scripts/profile_frame.py).
+    G = cfg.flat_group
     Ru = -(-R // G)
     tail_lo = row_lo + W
     tail_hi = row_lo + deg
     has_rem = deg > W
     u_first = jnp.where(has_rem, tail_lo // G, 0)
     n_units = jnp.where(has_rem, (tail_hi - 1) // G - u_first + 1, 0)
-    lm = map_lanes(n_units, Ru)
-    unit = u_first[lm.owner] + lm.within
-    rows = pg.em_flat[jnp.where(lm.valid, unit, 0)].reshape(Ru, G, EM_FIELDS)
+    owner, starts, total = _owner_of_lanes(n_units, Ru)
+    info = jnp.stack(
+        [
+            u_first - starts,  # unit = this + lane index
+            tail_lo,
+            tail_hi,
+            jax.lax.bitcast_convert_type(st.costs, jnp.int32),
+            safe,
+        ],
+        axis=1,
+    )
+    j = jnp.arange(Ru, dtype=jnp.int32)
+    io = info[owner]  # (Ru, 5): the ONE per-slot gather
+    valid = j < total
+    unit = io[:, 0] + j
+    rows = pg.em_flat[jnp.where(valid, unit, 0)].reshape(Ru, G, EM_FIELDS)
     arc_rem = unit[:, None] * G + jnp.arange(G, dtype=jnp.int32)[None, :]
     in_range = (
-        lm.valid[:, None]
-        & (arc_rem >= tail_lo[lm.owner][:, None])
-        & (arc_rem < tail_hi[lm.owner][:, None])
+        valid[:, None]
+        & (arc_rem >= io[:, 1, None])
+        & (arc_rem < io[:, 2, None])
     )
+    own_cost = _bitcast_f32(io[:, 3])
     cost_rem = jnp.where(
-        in_range, st.costs[lm.owner][:, None] + _bitcast_f32(rows[..., 0]), INF
+        in_range, own_cost[:, None] + _bitcast_f32(rows[..., 0]), INF
     )
-    src_rem = jnp.broadcast_to(lm.owner[:, None], (Ru, G))
+    src_rem = jnp.broadcast_to(owner[:, None], (Ru, G))
 
     dst = jnp.concatenate([nxt.reshape(-1), rows[..., 1].reshape(-1)])
     sidx_all = jnp.concatenate([sidx.reshape(-1), rows[..., 2].reshape(-1)])
@@ -278,7 +316,7 @@ def expand_emitting(
     ac = -score_lookup(sidx_all, scores_t, cfg.score_onehot)
     cost = cost + ac  # inf + finite stays inf
     state_blk = jnp.broadcast_to(safe[:, None], (K, W))
-    state_rem = jnp.broadcast_to(safe[lm.owner][:, None], (Ru, G))
+    state_rem = jnp.broadcast_to(io[:, 4, None], (Ru, G))
     return Candidates(
         dst=dst,
         cost=cost,
@@ -287,7 +325,7 @@ def expand_emitting(
             [state_blk.reshape(-1), state_rem.reshape(-1)]
         ),
         arc_id=jnp.concatenate([arc_blk.reshape(-1), arc_rem.reshape(-1)]),
-        overflow=lm.total > Ru,
+        overflow=total > Ru,
     )
 
 
@@ -314,22 +352,35 @@ def expand_eps(
         jnp.arange(K, dtype=jnp.int32)[:, None], (K, W)
     )
 
+    # Remainder lanes with the same fused per-slot info-row gather as
+    # expand_emitting (one gather instead of four element gathers).
     rem_deg = jnp.maximum(deg - W, 0)
-    lm = map_lanes(rem_deg, R)
-    arc_rem = row_lo[lm.owner] + W + lm.within
-    rows = pg.eps_flat[jnp.where(lm.valid, arc_rem, 0)]
+    owner, starts, total = _owner_of_lanes(rem_deg, R)
+    info = jnp.stack(
+        [
+            row_lo + W - starts,  # arc = this + lane index
+            jax.lax.bitcast_convert_type(st.costs, jnp.int32),
+            safe,
+        ],
+        axis=1,
+    )
+    io = info[owner]
+    j = jnp.arange(R, dtype=jnp.int32)
+    valid = j < total
+    arc_rem = io[:, 0] + j
+    rows = pg.eps_flat[jnp.where(valid, arc_rem, 0)]
     cost_rem = jnp.where(
-        lm.valid, st.costs[lm.owner] + _bitcast_f32(rows[:, 0]), INF
+        valid, _bitcast_f32(io[:, 1]) + _bitcast_f32(rows[:, 0]), INF
     )
 
     state_blk = jnp.broadcast_to(safe[:, None], (K, W))
     return Candidates(
         dst=jnp.concatenate([nxt.reshape(-1), rows[:, 1]]),
         cost=jnp.concatenate([cost_blk.reshape(-1), cost_rem]),
-        src_slot=jnp.concatenate([src_blk.reshape(-1), lm.owner]),
-        src_state=jnp.concatenate([state_blk.reshape(-1), safe[lm.owner]]),
+        src_slot=jnp.concatenate([src_blk.reshape(-1), owner]),
+        src_state=jnp.concatenate([state_blk.reshape(-1), io[:, 2]]),
         arc_id=jnp.concatenate([arc_blk.reshape(-1), arc_rem]),
-        overflow=lm.total > R,
+        overflow=total > R,
     )
 
 

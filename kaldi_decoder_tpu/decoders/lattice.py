@@ -331,7 +331,7 @@ class BatchedLatticeDecoder:
 
         fc2 = self.cfg.frontier
         self._pg_dev = pack_graph_device(
-            dev_graph, fc2.block_width, fc2.eps_block_width
+            dev_graph, fc2.block_width, fc2.eps_block_width, fc2.flat_group
         )
         self._chunk_fn = build_lattice_chunk_fn(dev_graph, self.cfg, mesh, data_axis)
 
@@ -477,7 +477,7 @@ class _StreamingLattice:
 
         fcw = self._dev_cfg.frontier
         self._pg_dev = pack_graph_device(
-            self._graph, fcw.block_width, fcw.eps_block_width
+            self._graph, fcw.block_width, fcw.eps_block_width, fcw.flat_group
         )
         self._chunk_fn = build_lattice_chunk_fn(self._graph, self._dev_cfg)
         self._reset()

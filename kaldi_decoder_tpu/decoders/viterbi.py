@@ -443,7 +443,8 @@ class BatchedViterbiDecoder:
         self.mesh = mesh
         self._batch_multiple = mesh.devices.size if mesh is not None else 1
         self._pg_dev = pack_graph_device(
-            dev_graph, self.cfg.block_width, self.cfg.eps_block_width
+            dev_graph, self.cfg.block_width, self.cfg.eps_block_width,
+            self.cfg.flat_group,
         )
         self._chunk_fn = build_chunk_fn(dev_graph, self.cfg, mesh, data_axis)
 

@@ -49,7 +49,14 @@ INF_BITS = np.float32(np.inf).view(np.int32)
 
 EM_FIELDS = 3  # weight, next, score_idx
 EPS_FIELDS = 2  # weight, next
-FLAT_GROUP = 4  # emitting arcs per em_flat row (remainder packing)
+# Default emitting arcs per em_flat row (remainder packing).  Row-gather
+# cost on TPU is per row and width-free up to ~128 int32s, so larger
+# groups cut the remainder path's gather count proportionally; the price
+# is ragged-end lane waste (~G/2 lanes per fat state), so graphs whose
+# remainder mass comes from a few long-tailed hubs want G=8..16 while
+# graphs with many short tails want G=4.  FrontierConfig.flat_group
+# selects per decoder; this constant is only the default.
+FLAT_GROUP = 4
 
 
 class PackedGraph(NamedTuple):
@@ -69,7 +76,9 @@ def _pack_rows(fields, pad_values):
     return np.stack(fields, axis=1).astype(np.int32)
 
 
-def pack_graph(graph: CsrGraph, w_em: int, w_eps: int) -> PackedGraph:
+def pack_graph(
+    graph: CsrGraph, w_em: int, w_eps: int, flat_group: int = FLAT_GROUP
+) -> PackedGraph:
     ga = graph.arrays
     S = graph.num_states
     E = graph.num_emitting_arcs
@@ -121,9 +130,9 @@ def pack_graph(graph: CsrGraph, w_em: int, w_eps: int) -> PackedGraph:
         [ga.eps_row_ptr[:-1].astype(np.int32), edeg.astype(np.int32)], axis=1
     )
 
-    # Pack the flat table FLAT_GROUP arcs per row (pad rows get +inf
+    # Pack the flat table flat_group arcs per row (pad rows get +inf
     # weights so stray lanes self-invalidate).
-    G = FLAT_GROUP
+    G = flat_group
     n_units = (E + G - 1) // G if E else 0
     em_flat_p = np.empty((n_units * G, EM_FIELDS), np.int32)
     em_flat_p[:, 0] = INF_BITS
@@ -189,7 +198,9 @@ def _build_blocks_fn(w_em: int, w_eps: int):
     return build
 
 
-def pack_graph_device(graph: CsrGraph, w_em: int, w_eps: int) -> PackedGraph:
+def pack_graph_device(
+    graph: CsrGraph, w_em: int, w_eps: int, flat_group: int = FLAT_GROUP
+) -> PackedGraph:
     """Packed graph as device arrays, transferring only the flat tables
     (em/eps CSR + final costs) and building the block tables on device —
     same result as ``jax.tree.map(jnp.asarray, pack_graph(...))`` with a
@@ -199,7 +210,7 @@ def pack_graph_device(graph: CsrGraph, w_em: int, w_eps: int) -> PackedGraph:
     ga = graph.arrays
     E = graph.num_emitting_arcs
     Ee = graph.num_eps_arcs
-    G = FLAT_GROUP
+    G = flat_group
 
     em_w_bits = (
         np.ascontiguousarray(ga.em_weight).view(np.int32)

@@ -92,6 +92,12 @@ def _declare(lib: ctypes.CDLL) -> None:
         _i64, _i64, _i32p, _f32p, _f32p, _i32p, _f32p, _f32p, _i64,
         _i32p, _i64,
     ]
+    lib.kd_decode_faster.restype = ctypes.c_double
+    lib.kd_decode_faster.argtypes = [
+        _i64, _i32p, _i32p, _f32p, _i32p, _i32p, _i32p, _f32p, _f32p,
+        _i64, _i64, _i64, _f32p, ctypes.c_float, _i64, _i64,
+        ctypes.c_float, _i64p,
+    ]
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -290,6 +296,44 @@ def backtrace(
     if n < 0:
         raise RuntimeError("kd_backtrace capacity error")
     return out[:n]
+
+
+def decode_faster(
+    graph,
+    scores: np.ndarray,  # (T, V) float32 log-probs
+    beam: float = 16.0,
+    max_active: int = 2**63 - 1,
+    min_active: int = 20,
+    beam_delta: float = 0.5,
+):
+    """Single-threaded C++ decode with the reference FasterDecoder's
+    algorithmics over a CsrGraph (the honest native CPU baseline; see
+    kd_decode_faster in csrc/kdtpu_host.cc).
+
+    Returns (best_final_cost, frames_decoded, tokens_created).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    ga = graph.arrays
+    scores = np.ascontiguousarray(scores, np.float32)
+    T, V = scores.shape
+    stats = np.zeros(2, np.int64)
+    best = lib.kd_decode_faster(
+        graph.num_states,
+        np.ascontiguousarray(ga.em_row_ptr, np.int32),
+        np.ascontiguousarray(ga.em_next, np.int32),
+        np.ascontiguousarray(ga.em_weight, np.float32),
+        np.ascontiguousarray(ga.em_score_idx, np.int32),
+        np.ascontiguousarray(ga.eps_row_ptr, np.int32),
+        np.ascontiguousarray(ga.eps_next, np.int32),
+        np.ascontiguousarray(ga.eps_weight, np.float32),
+        np.ascontiguousarray(ga.final_cost, np.float32),
+        graph.start_state, T, V, scores.reshape(-1),
+        float(beam), int(max_active), int(min_active), float(beam_delta),
+        stats,
+    )
+    return float(best), int(stats[0]), int(stats[1])
 
 
 def shortest_path_arrays(

@@ -20,6 +20,7 @@
 // standard library.  Every function is single-threaded and reentrant
 // (no globals); callers may parallelize across handles.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -27,6 +28,7 @@
 #include <limits>
 #include <memory>
 #include <string>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -644,6 +646,197 @@ int64_t kd_shortest_path(int64_t S, int64_t A, const int32_t* src,
   if (n > cap) return -3;
   for (int64_t i = 0; i < n; ++i) out[i] = rev[static_cast<size_t>(n - 1 - i)];
   return n;
+}
+
+// -- Single-threaded reference-algorithmics decoder ---------------------------
+// The honest native CPU baseline (BASELINE.md): the reference FasterDecoder's
+// per-frame algorithmics — GetCutoff with nth_element beam/max-active cutoffs
+// and adaptive beam (faster-decoder.cc:244-336), hash-map token frontier with
+// keep-the-cheaper insert (hash-list-inl.h:128-173 as used at
+// faster-decoder.cc:212-228), best-token lookahead pre-tightening the next
+// cutoff (faster-decoder.cc:174-189), emitting expansion over the CSR arc
+// arrays, and the epsilon-closure worklist (faster-decoder.cc:59-119) — in
+// compiled C++ over the same CSR graph the device decodes.  Original
+// implementation; tokens carry a backpointer chain in an arena, as the
+// reference's refcounted Token::prev_ chain does.
+//
+// Returns the best final-state cost (+inf if no final state was reached);
+// out_stats[0] = frames decoded, out_stats[1] = total tokens created.
+double kd_decode_faster(
+    int64_t S, const int32_t* em_row_ptr, const int32_t* em_next,
+    const float* em_w, const int32_t* em_sidx, const int32_t* eps_row_ptr,
+    const int32_t* eps_next, const float* eps_w, const float* final_cost,
+    int64_t start, int64_t T, int64_t V, const float* scores, float beam,
+    int64_t max_active, int64_t min_active, float beam_delta,
+    int64_t* out_stats) {
+  struct Tok {
+    double cost;
+    int32_t prev;   // arena index of predecessor token (-1 at start)
+    int32_t arc;    // arc taken to get here (emitting or eps id; -1 none)
+  };
+  std::vector<Tok> arena;
+  arena.reserve(1 << 16);
+  const double inf = std::numeric_limits<double>::infinity();
+
+  // state -> arena index of its current token, per frontier.
+  std::unordered_map<int32_t, int32_t> cur, nxt;
+  cur.reserve(1024);
+  nxt.reserve(1024);
+
+  auto tok_cost = [&](int32_t idx) { return arena[static_cast<size_t>(idx)].cost; };
+
+  // Epsilon-closure worklist under a cutoff (faster-decoder.cc:59-119).
+  std::vector<int32_t> queue;
+  auto process_nonemitting = [&](std::unordered_map<int32_t, int32_t>& toks,
+                                 double cutoff) {
+    queue.clear();
+    for (auto& kv : toks) queue.push_back(kv.first);
+    while (!queue.empty()) {
+      int32_t s = queue.back();
+      queue.pop_back();
+      auto it = toks.find(s);
+      if (it == toks.end()) continue;
+      double c = tok_cost(it->second);
+      if (c > cutoff) continue;
+      int32_t me = it->second;
+      for (int32_t a = eps_row_ptr[s]; a < eps_row_ptr[s + 1]; ++a) {
+        double nc = c + static_cast<double>(eps_w[a]);
+        if (nc > cutoff) continue;
+        int32_t ns = eps_next[a];
+        auto jt = toks.find(ns);
+        if (jt == toks.end() || nc < tok_cost(jt->second)) {
+          arena.push_back({nc, me, a});
+          toks[ns] = static_cast<int32_t>(arena.size() - 1);
+          queue.push_back(ns);
+        }
+      }
+    }
+  };
+
+  // GetCutoff (faster-decoder.cc:244-336): beam cutoff, max/min-active
+  // cutoffs via nth_element, adaptive beam.
+  std::vector<float> tmp;
+  auto get_cutoff = [&](std::unordered_map<int32_t, int32_t>& toks,
+                        double* adaptive_beam, int32_t* best_tok) {
+    double best = inf;
+    int32_t best_idx = -1;
+    if (max_active == std::numeric_limits<int64_t>::max() && min_active == 0) {
+      for (auto& kv : toks) {
+        double c = tok_cost(kv.second);
+        if (c < best) {
+          best = c;
+          best_idx = kv.second;
+        }
+      }
+      *adaptive_beam = beam;
+      *best_tok = best_idx;
+      return best + static_cast<double>(beam);
+    }
+    tmp.clear();
+    for (auto& kv : toks) {
+      double c = tok_cost(kv.second);
+      tmp.push_back(static_cast<float>(c));
+      if (c < best) {
+        best = c;
+        best_idx = kv.second;
+      }
+    }
+    *best_tok = best_idx;
+    double beam_cutoff = best + static_cast<double>(beam);
+    double max_active_cutoff = inf;
+    if (static_cast<int64_t>(tmp.size()) > max_active) {
+      std::nth_element(tmp.begin(), tmp.begin() + max_active, tmp.end());
+      max_active_cutoff = static_cast<double>(tmp[static_cast<size_t>(max_active)]);
+    }
+    if (max_active_cutoff < beam_cutoff) {
+      *adaptive_beam = max_active_cutoff - best + static_cast<double>(beam_delta);
+      return max_active_cutoff;
+    }
+    double min_active_cutoff = -inf;
+    if (static_cast<int64_t>(tmp.size()) > min_active && min_active > 0) {
+      std::nth_element(tmp.begin(), tmp.begin() + (min_active - 1),
+                       max_active_cutoff == inf
+                           ? tmp.end()
+                           : tmp.begin() + max_active);
+      min_active_cutoff = static_cast<double>(tmp[static_cast<size_t>(min_active - 1)]);
+    }
+    if (min_active_cutoff > beam_cutoff) {
+      *adaptive_beam = min_active_cutoff - best + static_cast<double>(beam_delta);
+      return min_active_cutoff;
+    }
+    *adaptive_beam = beam;
+    return beam_cutoff;
+  };
+
+  // InitDecoding (faster-decoder.cc:42-56).
+  arena.push_back({0.0, -1, -1});
+  cur[static_cast<int32_t>(start)] = 0;
+  process_nonemitting(cur, inf);
+
+  int64_t frames = 0;
+  for (int64_t t = 0; t < T && !cur.empty(); ++t, ++frames) {
+    double adaptive_beam = beam;
+    int32_t best_tok = -1;
+    double weight_cutoff = get_cutoff(cur, &adaptive_beam, &best_tok);
+    const float* row = scores + t * V;
+
+    // Best-token lookahead pre-tightens the next frame's cutoff
+    // (faster-decoder.cc:174-189).
+    double next_weight_cutoff = inf;
+    if (best_tok >= 0) {
+      // find the best token's state (reverse lookup kept cheap: GetCutoff
+      // remembered the arena index; we need its state's arcs, so scan cur)
+      for (auto& kv : cur) {
+        if (kv.second != best_tok) continue;
+        int32_t s = kv.first;
+        double c = tok_cost(best_tok);
+        for (int32_t a = em_row_ptr[s]; a < em_row_ptr[s + 1]; ++a) {
+          double nc = c + static_cast<double>(em_w[a]) -
+                      static_cast<double>(row[em_sidx[a]]);
+          if (nc + adaptive_beam < next_weight_cutoff)
+            next_weight_cutoff = nc + adaptive_beam;
+        }
+        break;
+      }
+    }
+
+    // ProcessEmitting (faster-decoder.cc:155-241).
+    nxt.clear();
+    for (auto& kv : cur) {
+      int32_t s = kv.first;
+      double c = tok_cost(kv.second);
+      if (c > weight_cutoff) continue;
+      for (int32_t a = em_row_ptr[s]; a < em_row_ptr[s + 1]; ++a) {
+        double nc = c + static_cast<double>(em_w[a]) -
+                    static_cast<double>(row[em_sidx[a]]);
+        if (nc >= next_weight_cutoff) continue;
+        if (nc + adaptive_beam < next_weight_cutoff)
+          next_weight_cutoff = nc + adaptive_beam;
+        int32_t ns = em_next[a];
+        auto jt = nxt.find(ns);
+        if (jt == nxt.end() || nc < tok_cost(jt->second)) {
+          arena.push_back({nc, kv.second, a});
+          nxt[ns] = static_cast<int32_t>(arena.size() - 1);
+        }
+      }
+    }
+    std::swap(cur, nxt);
+    process_nonemitting(cur, next_weight_cutoff);
+  }
+
+  double best_final = inf;
+  for (auto& kv : cur) {
+    double fc = static_cast<double>(final_cost[kv.first]);
+    if (std::isfinite(fc)) {
+      double c = tok_cost(kv.second) + fc;
+      if (c < best_final) best_final = c;
+    }
+  }
+  if (out_stats) {
+    out_stats[0] = frames;
+    out_stats[1] = static_cast<int64_t>(arena.size());
+  }
+  return best_final;
 }
 
 }  // extern "C"

@@ -131,7 +131,9 @@ def _slice_part(ga: GraphArrays, lo: int, hi: int, sp: int) -> CsrGraph:
     )
 
 
-def shard_graph(graph: CsrGraph, num_parts: int, w_em: int, w_eps: int) -> ShardedGraph:
+def shard_graph(
+    graph: CsrGraph, num_parts: int, w_em: int, w_eps: int, flat_group: int = 4
+) -> ShardedGraph:
     """Partition states contiguously into ``num_parts`` and pack each part."""
     S = graph.num_states
     sp = -(-S // num_parts)  # ceil
@@ -142,7 +144,11 @@ def shard_graph(graph: CsrGraph, num_parts: int, w_em: int, w_eps: int) -> Shard
         lo, hi = min(p * sp, S), min((p + 1) * sp, S)
         em_off[p] = graph.arrays.em_row_ptr[lo]
         eps_off[p] = graph.arrays.eps_row_ptr[lo]
-        parts.append(pack_graph(_slice_part(graph.arrays, lo, hi, sp), w_em, w_eps))
+        parts.append(
+            pack_graph(
+                _slice_part(graph.arrays, lo, hi, sp), w_em, w_eps, flat_group
+            )
+        )
     # Pad flat arc tables to a common length, then stack part-major.
     e_max = max(p.em_flat.shape[0] for p in parts)
     z_max = max(p.eps_flat.shape[0] for p in parts)
@@ -638,7 +644,9 @@ class ShardedViterbiDecoder:
         self.pad_time_to = pad_time_to
         P_ = mesh.shape[model_axis]
         fc = config if config is not None else config_for_graph(graph)
-        self._sg = shard_graph(graph, P_, fc.block_width, fc.eps_block_width)
+        self._sg = shard_graph(
+            graph, P_, fc.block_width, fc.eps_block_width, fc.flat_group
+        )
         self.cfg = shard_config_for(self._sg, fc, route_cap=route_cap)
         self._pg_dev = jax.tree.map(jnp.asarray, self._sg.packed)
         self._em_off = jnp.asarray(self._sg.em_arc_offset)
@@ -802,7 +810,9 @@ def _sharded_lattice_eps_iteration(
     rec_all, is_link = jax.vmap(
         lambda idx, sg_, ag_: _rec_from_idx(idx, sg_, ag_, offset=K)
     )(sel.recs[0], rt.gslot, rt.arc)
-    # Compact to eps_records rows (winner part may duplicate extras).
+    # Compact the winners-first/slack-ascending link rows into eps_records
+    # slots (winner links and extras are disjoint by construction in
+    # dedup_select_rec, so the compaction never sees duplicates).
     n_idx = sel.recs[0].shape[1]
     keykeep = jnp.where(is_link, n_idx - jnp.arange(n_idx)[None, :], 0)
     _, takepos = jax.lax.top_k(keykeep, cfg.eps_records)
@@ -814,7 +824,15 @@ def _sharded_lattice_eps_iteration(
     )
     changed_local = jnp.any((sel.cand_idx >= K) & jnp.isfinite(sel.costs))
     changed = jax.lax.pmax(changed_local.astype(jnp.int32), axis) > 0
-    ovf = jnp.any(rt.overflow) | cand.overflow.any() | jnp.any(sel.rec_overflow)
+    # Spill check: eligible links beyond the eps_records slots are dropped
+    # by the compaction above — that is record overflow (potential lattice
+    # loss) and must be flagged, mirroring lattice_dev.eps_iteration_rec's
+    # spill test.
+    spill = jnp.any(jnp.sum(is_link, axis=1) > cfg.eps_records)
+    ovf = (
+        jnp.any(rt.overflow) | cand.overflow.any()
+        | jnp.any(sel.rec_overflow) | spill
+    )
     sat = jnp.any(sel.num_unique > K)
     return StepState(sel.states, sel.costs, st.base), rec, changed, ovf, sat
 
@@ -1042,7 +1060,9 @@ class ShardedLatticeDecoder:
         self.lattice_beam = float(lattice_beam)
         P_ = mesh.shape[model_axis]
         fc = config if config is not None else config_for_graph(graph)
-        self._sg = shard_graph(graph, P_, fc.block_width, fc.eps_block_width)
+        self._sg = shard_graph(
+            graph, P_, fc.block_width, fc.eps_block_width, fc.flat_group
+        )
         self.cfg = shard_lattice_config_for(
             self._sg, fc, lattice_beam, em_records, eps_records, route_cap
         )
