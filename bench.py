@@ -55,10 +55,15 @@ FRAME_SECONDS = 0.04  # conformer subsampling-4 frame rate
 BEAM = 15.0
 MAX_ACTIVE = 4000
 LATTICE_BEAM = 8.0
-EM_RECORDS = int(os.environ.get("KDTPU_BENCH_EM_RECORDS", "4096"))
-REM_BUDGET = int(os.environ.get("KDTPU_BENCH_REM", "8192"))
+# Round-4 defaults are the *fidelity point*: record/lane budgets that
+# cover the expansion (measured link recall vs the exact oracle is
+# reported in BASELINE.md and carried in the metric string below).
+# KDTPU_BENCH_EM_RECORDS=4096 selects the old 1-best/Viterbi-forest mode.
+EM_RECORDS = int(os.environ.get("KDTPU_BENCH_EM_RECORDS", "8192"))
+REM_BUDGET = int(os.environ.get("KDTPU_BENCH_REM", "32768"))
 EPS_REM_BUDGET = int(os.environ.get("KDTPU_BENCH_EPS_REM", "2048"))
 FRONTIER = int(os.environ.get("KDTPU_BENCH_FRONTIER", "4096"))
+FLAT_GROUP = int(os.environ.get("KDTPU_BENCH_FLAT_GROUP", "4"))
 GRAPH_KIND = os.environ.get("KDTPU_BENCH_GRAPH", "hlg")
 CACHE_DIR = REPO / ".bench_cache"
 
@@ -158,6 +163,7 @@ def make_decoder(graph):
         frontier_size=FRONTIER,
         rem_budget=REM_BUDGET,
         eps_rem_budget=EPS_REM_BUDGET,
+        flat_group=FLAT_GROUP,
     )
     return BatchedLatticeDecoder(
         graph, fc, lattice_beam=LATTICE_BEAM,
@@ -245,6 +251,31 @@ def e2e_with_lattices(graph, dec, scores, lengths, refs):
     return e2e, wer_val
 
 
+def baseline_throughput_native(graph, scores):
+    """Honest native baseline: single-threaded C++ decode with the
+    reference FasterDecoder's algorithmics (GetCutoff/nth_element,
+    hash-map frontier, eps worklist) on the same graph — see
+    kd_decode_faster in native/csrc/kdtpu_host.cc.  Returns audio-s/s,
+    or None if the native library is unavailable."""
+    from kaldi_decoder_tpu import native
+
+    if not native.available():
+        return None
+    frames = min(200, scores.shape[1])
+    best = np.inf
+    for _ in range(2):
+        t0 = time.time()
+        _, nf, toks = native.decode_faster(
+            graph, scores[0, :frames], beam=BEAM, max_active=MAX_ACTIVE,
+            min_active=200,
+        )
+        best = min(best, time.time() - t0)
+    sps = nf * FRAME_SECONDS / best
+    log(f"  C++ single-thread reference-algorithmics decoder: {nf} frames "
+        f"in {best:.2f}s ({sps:.2f} audio-s/s, {toks} tokens)")
+    return sps
+
+
 def baseline_throughput(graph, scores):
     """Single-threaded CPU token passing with reference algorithmics."""
     ga = graph.arrays
@@ -314,10 +345,28 @@ def main():
     _stage("decoder built (graph transferred lazily)")
     dev_sps = device_throughput(graph, dec, scores, lengths)
     e2e_sps, wer_val = e2e_with_lattices(graph, dec, scores, lengths, refs)
-    base_sps = baseline_throughput(graph, scores)
+    base_native = baseline_throughput_native(graph, scores)
+    base_py = baseline_throughput(graph, scores)
+    # vs_baseline is measured against the C++ single-thread decoder (the
+    # honest compiled-language baseline); the Python loop is logged for
+    # r1-r3 continuity.
+    base_sps = base_native if base_native else base_py
+    # Link recall of this config vs the exact oracle, as measured by
+    # scripts/measure_recall.py --save (stored beside the graph cache);
+    # carried in the metric string per VERDICT r3.
+    recall_note = ""
+    rfile = CACHE_DIR / "recall.json"
+    if GRAPH_KIND == "hlg" and rfile.exists():
+        key = f"em{EM_RECORDS}_rem{REM_BUDGET}_f{FRONTIER}"
+        rec = json.loads(rfile.read_text()).get(key)
+        recall_note = (
+            f", link recall {rec:.3f} vs oracle" if rec is not None
+            else ", recall unmeasured"
+        )
     out = {
         "metric": f"{name} lattice decode throughput per chip"
-        + (f" (WER {100 * wer_val:.2f}%)" if wer_val is not None else ""),
+        + (f" (WER {100 * wer_val:.2f}%" + recall_note + ")"
+           if wer_val is not None else ""),
         "value": round(dev_sps, 2),
         "unit": "audio_seconds_per_second_per_chip",
         "vs_baseline": round(dev_sps / base_sps, 2),

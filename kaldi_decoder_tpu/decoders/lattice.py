@@ -167,7 +167,18 @@ def _as_graph(fst) -> CsrGraph:
 
 @dataclasses.dataclass
 class LatticeResult:
-    """Host-side batched lattice decode result."""
+    """Host-side batched lattice decode result.
+
+    Two data sources (identical final lattices, proven by
+    ``tests/test_sweep.py``):
+
+    * full mode (``device_prune=False``): the complete per-frame frontier
+      and record buffers are downloaded (``frame_states`` .. ``eps_records``);
+    * swept mode (default): the device backward sweep
+      (:mod:`kaldi_decoder_tpu.decoders.sweep`) pruned the structure to
+      its survivors on device and only those rows were downloaded
+      (``survivors``) — typically 100-1000x less wire traffic.
+    """
 
     graph: CsrGraph
     cfg: LatticeDevConfig
@@ -176,15 +187,20 @@ class LatticeResult:
     lengths: np.ndarray  # (B,)
     init_states: np.ndarray  # (K,)
     init_costs: np.ndarray  # (K,)
-    init_eps_records: np.ndarray  # (D, R_eps, 2)
-    frame_states: np.ndarray  # (T, B, K)
-    frame_costs: np.ndarray  # (T, B, K)
-    em_records: np.ndarray  # (T, B, R_em, 2)
-    eps_records: np.ndarray  # (T, B, D, R_eps, 2)
+    init_eps_records: np.ndarray  # (D, R_eps, >=2)
     num_active: np.ndarray  # (T, B)
     cutoffs: np.ndarray  # (T, B)
     overflows: np.ndarray  # (T, B)
     saturations: np.ndarray  # (T, B) bool — frontier capacity hit
+    frame_states: Optional[np.ndarray] = None  # (T, B, K)
+    frame_costs: Optional[np.ndarray] = None  # (T, B, K)
+    em_records: Optional[np.ndarray] = None  # (T, B, R_em, 4)
+    eps_records: Optional[np.ndarray] = None  # (T, B, D, R_eps, 4)
+    # Swept mode: list of per-chunk dicts with keys
+    #   frame0 (int), tok_rows (B, _, 3), tok_count (B,),
+    #   em_rows (B, _, 3), em_count (B,), eps_rows (B, _, 3),
+    #   eps_count (B,), overflow (B,)
+    survivors: Optional[List[dict]] = None
     fold: object = None  # Optional[FoldedGraph] — records carry folded ids
     # Wall-clock seconds of the batch device decode incl. one sync
     # fetch (remaining result downloads happen outside the timer).
@@ -197,16 +213,94 @@ class LatticeResult:
     def batch_size(self) -> int:
         return self.scores.shape[0]
 
+    def sweep_overflowed(self, b: int) -> bool:
+        """True if the device sweep's survivor buffers overflowed for
+        utterance ``b`` (lattice may be missing links; re-run with
+        device_prune=False or larger sweep caps)."""
+        if self.survivors is None:
+            return False
+        return bool(any(np.asarray(c["overflow"])[b] for c in self.survivors))
+
+    def _survivor_frames(self, b: int, L: int):
+        """Group downloaded survivor rows into per-frame structures.
+
+        Returns (frame_states list (L+1), frame_costs list, em_records
+        list (L), eps_records list (L))."""
+        K = self.cfg.frontier.frontier_size
+        tok_f = [None] * (L + 1)
+        tok_c = [None] * (L + 1)
+        em = [np.zeros((0, 2), np.int32) for _ in range(L)]
+        eps = [np.zeros((1, 0, 2), np.int32) for _ in range(L)]
+        tok_f[0] = self.init_states
+        tok_c[0] = self.init_costs
+        for chunk in self.survivors:
+            f0 = chunk["frame0"]
+            tr = chunk["tok_rows"][b][: int(chunk["tok_count"][b])]
+            if len(tr):
+                frames = tr[:, 0]
+                alphas = tr[:, 2].view(np.float32)
+                order = np.argsort(frames, kind="stable")
+                frames, states, alphas = (
+                    frames[order], tr[order, 1], alphas[order]
+                )
+                bounds = np.searchsorted(
+                    frames, np.arange(frames[0], frames[-1] + 2)
+                )
+                for i, f in enumerate(range(int(frames[0]), int(frames[-1]) + 1)):
+                    gf = f0 + f
+                    if gf > L:
+                        continue
+                    sl = slice(bounds[i], bounds[i + 1])
+                    if sl.start == sl.stop:
+                        continue
+                    # Min-alpha dedup by state: duplicates only occur when
+                    # a sweep buffer overflowed (clobbered rows); keep the
+                    # structure well-formed either way.
+                    order2 = np.lexsort((alphas[sl], states[sl]))
+                    ss, aa = states[sl][order2], alphas[sl][order2]
+                    first = np.ones(len(ss), bool)
+                    first[1:] = ss[1:] != ss[:-1]
+                    tok_f[gf] = ss[first]
+                    tok_c[gf] = aa[first]
+            er = chunk["em_rows"][b][: int(chunk["em_count"][b])]
+            if len(er):
+                for t in np.unique(er[:, 0]):
+                    gt = f0 + int(t)
+                    if gt >= L:
+                        continue
+                    em[gt] = er[er[:, 0] == t][:, 1:3]
+            zr = chunk["eps_rows"][b][: int(chunk["eps_count"][b])]
+            if len(zr):
+                for f in np.unique(zr[:, 0]):
+                    gf = f0 + int(f)
+                    if gf > L or gf < 1:
+                        continue
+                    eps[gf - 1] = zr[zr[:, 0] == f][None, :, 1:3]
+        # Frames with no surviving tokens: empty arrays (prune_lattice
+        # treats an empty frame as search death, matching the reference).
+        for f in range(L + 1):
+            if tok_f[f] is None:
+                tok_f[f] = np.zeros((0,), np.int32)
+                tok_c[f] = np.zeros((0,), np.float32)
+        return tok_f, tok_c, em, eps
+
     def _prune(self, b: int, use_final_probs: bool = True) -> Optional[PrunedLattice]:
         key = (b, use_final_probs)
         if key not in self._pruned:
             L = int(self.lengths[b])
-            frame_states = np.concatenate(
-                [self.init_states[None], self.frame_states[:L, b]], axis=0
-            )
-            frame_costs = np.concatenate(
-                [self.init_costs[None], self.frame_costs[:L, b]], axis=0
-            )
+            if self.survivors is not None:
+                frame_states, frame_costs, em_recs, eps_recs = (
+                    self._survivor_frames(b, L)
+                )
+            else:
+                frame_states = np.concatenate(
+                    [self.init_states[None], self.frame_states[:L, b]], axis=0
+                )
+                frame_costs = np.concatenate(
+                    [self.init_costs[None], self.frame_costs[:L, b]], axis=0
+                )
+                em_recs = self.em_records[:L, b]
+                eps_recs = self.eps_records[:L, b]
             if self.fold is not None:
                 # Expand folded arc records back to original-graph em/eps
                 # records (fst/fold.py), synthesizing any eps-intermediate
@@ -224,7 +318,7 @@ class LatticeResult:
                 em_list, eps_list = [], []
                 for t in range(L):
                     em, eps, ts, ta = self.fold.expand_with_alphas(
-                        self.em_records[t, b], fs[t], fc[t],
+                        em_recs[t], fs[t], fc[t],
                         self.scores[b, t],
                     )
                     em_list.append(em)
@@ -237,8 +331,8 @@ class LatticeResult:
                 frame_states, frame_costs = fs, fc
             else:
                 init_eps = self.init_eps_records
-                em_records = self.em_records[:L, b]
-                eps_records = self.eps_records[:L, b]
+                em_records = em_recs
+                eps_records = eps_recs
             self._pruned[key] = prune_lattice(
                 frame_states=frame_states,
                 frame_costs=frame_costs,
@@ -341,7 +435,7 @@ class BatchedLatticeDecoder:
 
             stb, _ = _folded_init(self.fold, self.cfg.frontier, batch)
             D = self.cfg.frontier.eps_iters
-            recs = np.full((D, self.cfg.eps_records, 2), -1, np.int32)
+            recs = np.full((D, self.cfg.eps_records, 4), -1, np.int32)
             return (
                 stb,
                 np.asarray(stb.states[0]),
@@ -363,12 +457,23 @@ class BatchedLatticeDecoder:
         scores: np.ndarray,
         lengths: Optional[np.ndarray] = None,
         chunk_frames: Optional[int] = None,
+        device_prune: bool = True,
     ) -> LatticeResult:
         """Batched lattice decode.
 
         ``chunk_frames``: decode in fixed-size time chunks through one
         compiled program (the streaming shape) instead of one T-sized
         program — avoids per-T recompiles for long/varied utterances.
+
+        ``device_prune`` (default): run the windowed backward extra-cost
+        sweep on device per chunk (:mod:`kaldi_decoder_tpu.decoders.sweep`)
+        and download only surviving tokens/links; the final lattice is
+        identical to ``device_prune=False`` (everything dropped is
+        provably outside it) at a small fraction of the transfer and host
+        cost.  Host reconstruction of chunk c overlaps the device decode
+        of chunk c+1 (chunk c's downloads block only on its own device
+        work while later chunks keep executing — the async-dispatch
+        pipeline the reference cannot express single-threaded).
         """
         scores = np.asarray(scores, dtype=np.float32)
         if scores.ndim == 2:
@@ -384,6 +489,12 @@ class BatchedLatticeDecoder:
         lengths = np.asarray(lengths, dtype=np.int32)
 
         Tp = max(_round_up(T, self.pad_time_to), self.pad_time_to)
+        if chunk_frames is not None:
+            # Whole chunks only: the last chunk is padded rather than
+            # shortened, so one compiled (forward, sweep) pair serves
+            # every chunk.
+            C0 = max(_round_up(chunk_frames, self.pad_time_to), 1)
+            Tp = _round_up(Tp, C0)
         Bp = _round_up(B, self._batch_multiple)
         if Tp != T or Bp != B:
             scores_p = np.zeros((Bp, Tp, V), np.float32)
@@ -396,32 +507,105 @@ class BatchedLatticeDecoder:
         st0, init_states, init_costs, init_recs = self._init(Bp)
         from kaldi_decoder_tpu.utils.profiling import WallTimer, annotate
 
+        C = Tp if chunk_frames is None else max(
+            _round_up(chunk_frames, self.pad_time_to), 1
+        )
+        sweep_fn = None
+        if device_prune:
+            from kaldi_decoder_tpu.decoders.sweep import (
+                build_sweep_fn, sweep_config,
+            )
+
+            sweep_fn = build_sweep_fn(sweep_config(self.cfg, C))
+
         with WallTimer() as timer, annotate("kdtpu.lattice_decode"):
-            if chunk_frames is None:
-                stf, outs = self._chunk_fn(
-                    self._pg_dev, jnp.asarray(scores_p),
-                    jnp.asarray(lengths_p), st0,
+            # Dispatch every chunk (forward + sweep) asynchronously; the
+            # device queue serializes them while the host moves on to
+            # downloading/grouping earlier chunks below.
+            rem = jnp.asarray(lengths_p)
+            stc = st0
+            chunks = []
+            for lo in range(0, Tp, C):
+                chunk_init = stc.states
+                stc, o = self._chunk_fn(
+                    self._pg_dev, jnp.asarray(scores_p[:, lo : lo + C]),
+                    rem, stc,
                 )
-                em_records = np.asarray(outs.em_records)  # fetch == sync
-            else:
-                # Chunked: re-invoke ONE compiled (B, chunk, V) program with
-                # carried state — no T-dependent recompiles, bounded device
-                # output buffers; host concatenates the per-chunk outputs.
-                C = max(_round_up(chunk_frames, self.pad_time_to), 1)
-                rem = jnp.asarray(lengths_p)
-                stc = st0
-                pieces = []
-                for lo in range(0, Tp, C):
-                    stc, o = self._chunk_fn(
-                        self._pg_dev, jnp.asarray(scores_p[:, lo : lo + C]),
-                        rem, stc,
+                sw = None
+                if device_prune:
+                    sw = sweep_fn(
+                        o.frontier_states, o.frontier_costs,
+                        o.em_records, o.eps_records, chunk_init, rem,
                     )
-                    rem = jnp.maximum(rem - C, 0)
-                    pieces.append(jax.tree.map(np.asarray, o))
-                outs = jax.tree.map(
-                    lambda *xs: np.concatenate(xs, axis=0), *pieces
+                    # The record buffers are consumed by the sweep; keep
+                    # only the small per-frame stats on the Python side so
+                    # the backing HBM can be released as chunks retire.
+                    o = o._replace(
+                        em_records=None, eps_records=None,
+                        frontier_states=None, frontier_costs=None,
+                    ) if device_prune else o
+                rem = jnp.maximum(rem - C, 0)
+                chunks.append((lo, o, sw))
+
+            survivors = None
+            if device_prune:
+                survivors = []
+                for lo, o, sw in chunks:
+                    survivors.append(
+                        {
+                            "frame0": lo,
+                            "tok_rows": np.asarray(sw.tok_rows),
+                            "tok_count": np.asarray(sw.tok_count),
+                            "em_rows": np.asarray(sw.em_rows),
+                            "em_count": np.asarray(sw.em_count),
+                            "eps_rows": np.asarray(sw.eps_rows),
+                            "eps_count": np.asarray(sw.eps_count),
+                            "overflow": np.asarray(sw.overflow),
+                        }
+                    )
+                if any(c["overflow"].any() for c in survivors):
+                    # Worst-case workloads (wide beams on high-entropy
+                    # scores) can keep nearly every record alive, in
+                    # which case the windowed sweep saves nothing and its
+                    # buffers overflow.  Correctness first: fall back to
+                    # the full download + host prune.
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "device sweep survivor buffers overflowed; "
+                        "falling back to full host pruning"
+                    )
+                    return self.decode(
+                        scores, lengths, chunk_frames=chunk_frames,
+                        device_prune=False,
+                    )
+                stats = [
+                    jax.tree.map(
+                        np.asarray,
+                        (o.num_active, o.cutoff, o.overflow, o.saturated),
+                    )
+                    for _, o, _ in chunks
+                ]
+                num_active, cutoffs, overflows, saturations = (
+                    np.concatenate([s[i] for s in stats], axis=0)
+                    for i in range(4)
                 )
+                frame_states = frame_costs = em_records = eps_records = None
+            else:
+                outs = jax.tree.map(
+                    lambda *xs: np.concatenate(
+                        [np.asarray(x) for x in xs], axis=0
+                    ),
+                    *[o for _, o, _ in chunks],
+                )
+                frame_states = outs.frontier_states
+                frame_costs = outs.frontier_costs
                 em_records = outs.em_records
+                eps_records = outs.eps_records
+                num_active = outs.num_active
+                cutoffs = outs.cutoff
+                overflows = outs.overflow
+                saturations = outs.saturated
         return LatticeResult(
             graph=self.graph,
             cfg=self.cfg,
@@ -431,14 +615,15 @@ class BatchedLatticeDecoder:
             init_states=init_states,
             init_costs=init_costs,
             init_eps_records=init_recs,
-            frame_states=np.asarray(outs.frontier_states),
-            frame_costs=np.asarray(outs.frontier_costs),
+            frame_states=frame_states,
+            frame_costs=frame_costs,
             em_records=em_records,
-            eps_records=np.asarray(outs.eps_records),
-            num_active=np.asarray(outs.num_active),
-            cutoffs=np.asarray(outs.cutoff),
-            overflows=np.asarray(outs.overflow),
-            saturations=np.asarray(outs.saturated),
+            eps_records=eps_records,
+            survivors=survivors,
+            num_active=num_active,
+            cutoffs=cutoffs,
+            overflows=overflows,
+            saturations=saturations,
             fold=self.fold,
             wall_seconds=timer.elapsed,
         )

@@ -47,6 +47,9 @@ from kaldi_decoder_tpu.ops.segment import dedup_select_rec
 
 INF = jnp.inf
 
+# Record-row columns: [src_state, arc_id, dst_state, slack_bits].
+REC_COLS = 4
+
 
 @dataclasses.dataclass(frozen=True)
 class LatticeDevConfig:
@@ -112,8 +115,12 @@ def compact_records(
 
 
 class LatticeStepOut(NamedTuple):
-    em_records: jnp.ndarray  # (R_em, 2): (src_state in frame t, emitting arc)
-    eps_records: jnp.ndarray  # (D, R_eps, 2): (src_state in frame t+1, eps arc)
+    # Record rows carry REC_COLS columns:
+    #   [src_state, arc_id, dst_state, slack_bits(f32)]
+    # cols 0-1 are the lattice link (host reconstruction); cols 2-3 feed
+    # the device-side backward extra-cost sweep (decoders/sweep.py).
+    em_records: jnp.ndarray  # (R_em, 4): links of frame t -> t+1
+    eps_records: jnp.ndarray  # (D, R_eps, 4): eps links within frame t+1
     frontier_states: jnp.ndarray  # (K,) tokens of frame t+1
     frontier_costs: jnp.ndarray  # (K,) absolute costs (alpha values)
     num_active: jnp.ndarray
@@ -163,10 +170,16 @@ def eps_iteration_rec(
     sel = dedup_select_rec(
         cand_state, cand_cost, K, num_states, K + r_eps,
         slack_beam=slack_beam, num_incumbents=K,
-        payload=(pay_src, pay_arc),
+        payload=(pay_src, pay_arc), sweep_cols=True,
     )
     rec = jnp.stack(
-        [sel.recs[0][:r_eps], sel.recs[1][:r_eps]], axis=-1
+        [
+            sel.recs[0][:r_eps],
+            sel.recs[1][:r_eps],
+            sel.rec_dst[:r_eps],
+            jax.lax.bitcast_convert_type(sel.rec_slack[:r_eps], jnp.int32),
+        ],
+        axis=-1,
     )
     # A valid row just beyond the slice means links were dropped.
     spill = sel.recs[1][r_eps] >= 0
@@ -189,8 +202,8 @@ def eps_closure_rec(
     D = cfg.eps_iters
     if D == 0:
         f = jnp.bool_(False)
-        return st, jnp.full((0, r_eps, 2), -1, jnp.int32), f, f
-    empty = jnp.full((r_eps, 2), -1, jnp.int32)
+        return st, jnp.full((0, r_eps, REC_COLS), -1, jnp.int32), f, f
+    empty = jnp.full((r_eps, REC_COLS), -1, jnp.int32)
 
     def body(carry, _):
         cur, stop, ovf, sat = carry
@@ -239,9 +252,16 @@ def lattice_emit_stage(
     # payload operands — no post-hoc gathers.
     sel = dedup_select_rec(
         cand.dst, ncost, K, num_states, r_em, slack_beam=slack_beam,
-        payload=(cand.src_state, cand.arc_id),
+        payload=(cand.src_state, cand.arc_id), sweep_cols=True,
     )
-    em_rec = jnp.stack(sel.recs, axis=-1)
+    em_rec = jnp.stack(
+        sel.recs
+        + (
+            sel.rec_dst,
+            jax.lax.bitcast_convert_type(sel.rec_slack, jnp.int32),
+        ),
+        axis=-1,
+    )
     mid = StepState(sel.states, sel.costs, st.base)
     ovf = cand.overflow | sel.rec_overflow
     sat = sel.num_unique > K
@@ -264,8 +284,8 @@ def eps_closure_rec_batched(
     B = st.states.shape[0]
     if D == 0:
         z = jnp.zeros((B,), bool)
-        return st, jnp.full((0, B, r_eps, 2), -1, jnp.int32), z, z
-    recs0 = jnp.full((D, B, r_eps, 2), -1, jnp.int32)
+        return st, jnp.full((0, B, r_eps, REC_COLS), -1, jnp.int32), z, z
+    recs0 = jnp.full((D, B, r_eps, REC_COLS), -1, jnp.int32)
 
     def cond(carry):
         it, _, go, _, _, _ = carry
@@ -324,8 +344,10 @@ def lattice_frame_step(
     final_state = jax.tree.map(
         lambda new, old: jnp.where(frame_active, new, old), out_state, st
     )
-    empty_em = jnp.full((cfg.em_records, 2), -1, jnp.int32)
-    empty_eps = jnp.full((fc.eps_iters, cfg.eps_records, 2), -1, jnp.int32)
+    empty_em = jnp.full((cfg.em_records, REC_COLS), -1, jnp.int32)
+    empty_eps = jnp.full(
+        (fc.eps_iters, cfg.eps_records, REC_COLS), -1, jnp.int32
+    )
     out = LatticeStepOut(
         em_records=jnp.where(frame_active, em_rec, empty_em),
         eps_records=jnp.where(frame_active, eps_recs, empty_eps),
@@ -377,8 +399,10 @@ def lattice_frame_step_batched(
         out_state,
         st,
     )
-    empty_em = jnp.full((B, cfg.em_records, 2), -1, jnp.int32)
-    empty_eps = jnp.full((B, fc.eps_iters, cfg.eps_records, 2), -1, jnp.int32)
+    empty_em = jnp.full((B, cfg.em_records, REC_COLS), -1, jnp.int32)
+    empty_eps = jnp.full(
+        (B, fc.eps_iters, cfg.eps_records, REC_COLS), -1, jnp.int32
+    )
     out = LatticeStepOut(
         em_records=jnp.where(fa[:, None, None], em_rec, empty_em),
         eps_records=jnp.where(fa[:, None, None, None], eps_recs, empty_eps),

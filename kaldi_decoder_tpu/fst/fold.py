@@ -143,7 +143,7 @@ class FoldedGraph:
         ok = records[:, 1] >= 0
         src = records[ok, 0].astype(np.int64)
         fa = records[ok, 1].astype(np.int64)
-        if len(fa) == 0:
+        if len(fa) == 0 or len(src_states) == 0:
             return z2, z2, z, np.zeros((0,), np.float64)
         # Drop records whose source token is missing (cannot happen for
         # device-emitted records — sources are frontier slots — but keeps

@@ -81,7 +81,7 @@ def _frame_tokens(states_k: np.ndarray, costs_k: np.ndarray) -> FrameTokens:
 
 
 def _collect_em_links(
-    records: np.ndarray,  # (R, 2) int32 (src_state, arc_id); -1 padded
+    records: np.ndarray,  # (R, >=2) int32; cols (src_state, arc_id), -1 padded
     toks_src: FrameTokens,
     toks_dst: FrameTokens,
     graph: CsrGraph,
@@ -114,12 +114,12 @@ def _collect_em_links(
 
 
 def _collect_eps_links(
-    records: np.ndarray,  # (D, R, 2) int32
+    records: np.ndarray,  # (D, R, >=2) int32; cols (src_state, arc_id)
     toks: FrameTokens,
     graph: CsrGraph,
 ) -> FrameLinks:
     ga = graph.arrays
-    recs = records.reshape(-1, 2)
+    recs = records.reshape(-1, records.shape[-1])
     ok = recs[:, 1] >= 0
     src_state = recs[ok, 0]
     arc = recs[ok, 1]
@@ -163,7 +163,7 @@ class PrunedLattice:
 def prune_lattice(
     frame_states: np.ndarray,  # (L+1, K) int32 frontier states per frame
     frame_costs: np.ndarray,  # (L+1, K) float32 absolute alphas
-    init_eps_records: np.ndarray,  # (D, R, 2)
+    init_eps_records: np.ndarray,  # (D, R, >=2)
     em_records,  # (L, R_em, 2) array or length-L list of (R_t, 2)
     eps_records,  # (L, D, R_eps, 2) array or length-L list of (.., 2)
     scores: np.ndarray,  # (L, V)

@@ -87,6 +87,15 @@ class SelectionRec(NamedTuple):
     # records as a masked set (lattice/prune.py filters arc >= 0).
     recs: tuple
     rec_overflow: jnp.ndarray  # () bool — eligible links exceeded R
+    # With sweep_cols=True: per record its destination STATE and link
+    # slack (cand_cost - winner_cost(dst), >= 0), the two quantities the
+    # device-side backward extra-cost sweep needs
+    # (`lattice-simple-decoder.cc:254-296` slack semantics).  -1 / +inf
+    # on padding rows.  Both ride the existing sorts (dst is the first
+    # sort key; slack is the record-selection key), so they are free of
+    # extra gathers.
+    rec_dst: Optional[jnp.ndarray] = None  # (R,) int32
+    rec_slack: Optional[jnp.ndarray] = None  # (R,) float32
 
 
 def _sort_by_state(cand_state, cand_cost, num_states, payload=()):
@@ -158,6 +167,7 @@ def dedup_select_rec(
     num_incumbents: int = 0,  # leading candidates that are carried tokens,
     # not links (the eps-relaxation incumbent-first pattern)
     payload: Optional[tuple] = None,  # (N,) int32 arrays to emit as records
+    sweep_cols: bool = False,  # also emit (rec_dst, rec_slack) per record
 ) -> SelectionRec:
     """dedup_select + lattice record selection by link slack.
 
@@ -199,6 +209,11 @@ def dedup_select_rec(
             jnp.where(okr, p[posk], -1).astype(jnp.int32) for p in pay2
         )
         num_valid = jnp.sum(jnp.isfinite(c2)).astype(jnp.int32)
+        rec_dst = rec_slack = None
+        if sweep_cols:
+            # Winner links: dst is the slot's own state, slack 0.
+            rec_dst = jnp.where(okr, sel.states[:r], -1)
+            rec_slack = jnp.where(okr, 0.0, INF).astype(jnp.float32)
         return SelectionRec(
             states=sel.states,
             costs=sel.costs,
@@ -206,6 +221,8 @@ def dedup_select_rec(
             num_unique=sel.num_unique,
             recs=recs,
             rec_overflow=num_valid > r,
+            rec_dst=rec_dst,
+            rec_slack=rec_slack,
         )
 
     # Per-lane run minimum via a segmented forward fill (copy the leader's
@@ -235,15 +252,33 @@ def dedup_select_rec(
     # Winner links first (key -1 guarantees them a slot), then extras by
     # ascending slack; the stable sort keeps state-sorted order on ties.
     key = jnp.where(win_link, -1.0, jnp.where(extra_ok, slack, INF))
-    sorted2 = jax.lax.sort((key,) + pay2, num_keys=1)
+    ops2 = (key,) + pay2 + ((s2,) if sweep_cols else ())
+    sorted2 = jax.lax.sort(ops2, num_keys=1)
     take = min(r, n)
     ok_r = sorted2[0][:take] < INF
+    npay = len(pay2)
     recs = tuple(
-        jnp.where(ok_r, p[:take], -1).astype(jnp.int32) for p in sorted2[1:]
+        jnp.where(ok_r, p[:take], -1).astype(jnp.int32)
+        for p in sorted2[1 : 1 + npay]
     )
+    rec_dst = rec_slack = None
+    if sweep_cols:
+        rec_dst = jnp.where(ok_r, sorted2[1 + npay][:take], -1).astype(
+            jnp.int32
+        )
+        # Winner rows carry key -1 but their true slack is 0 by
+        # definition (the leader lane is its run's minimum).
+        rec_slack = jnp.where(
+            ok_r, jnp.maximum(sorted2[0][:take], 0.0), INF
+        ).astype(jnp.float32)
     if take < r:  # record budget beyond the candidate count: pad
         pad = jnp.full((r - take,), -1, jnp.int32)
         recs = tuple(jnp.concatenate([p, pad]) for p in recs)
+        if sweep_cols:
+            rec_dst = jnp.concatenate([rec_dst, pad])
+            rec_slack = jnp.concatenate(
+                [rec_slack, jnp.full((r - take,), INF, jnp.float32)]
+            )
     rec_overflow = jnp.sum(key < INF) > r
     return SelectionRec(
         states=sel.states,
@@ -252,6 +287,8 @@ def dedup_select_rec(
         num_unique=sel.num_unique,
         recs=recs,
         rec_overflow=rec_overflow,
+        rec_dst=rec_dst,
+        rec_slack=rec_slack,
     )
 
 

@@ -72,7 +72,7 @@ def main():
         B.EM_RECORDS = r_em
         dec = B.make_decoder(graph)
         t0 = time.time()
-        res = dec.decode(sc, ln, chunk_frames=B.CHUNK_FRAMES)
+        res = dec.decode(sc, ln, chunk_frames=B.CHUNK_FRAMES, device_prune=False)
         dlat = res.best_path(0)
         dlinks = device_link_set(res)
         st = res.stats(0)
@@ -92,6 +92,15 @@ def main():
             "seconds": round(time.time() - t0, 1),
         }
         print(json.dumps(out), flush=True)
+        if "--save" in sys.argv:
+            # Persist for bench.py's metric string (keyed by config).
+            rfile = B.CACHE_DIR / "recall.json"
+            data = (
+                json.loads(rfile.read_text()) if rfile.exists() else {}
+            )
+            key = f"em{r_em}_rem{B.REM_BUDGET}_f{B.FRONTIER}"
+            data[key] = out["recall"]
+            rfile.write_text(json.dumps(data, indent=1))
 
 
 if __name__ == "__main__":

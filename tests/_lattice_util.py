@@ -66,7 +66,7 @@ def records_with_evicted_intermediates(res, fold, b=0):
         live = np.isfinite(res.frame_costs[t, b])
         fr = set(res.frame_states[t, b][live].tolist())
         recs = res.em_records[t, b]
-        for src, fa in recs[recs[:, 1] >= 0]:
+        for src, fa in recs[recs[:, 1] >= 0][:, :2]:
             path = fold.path_arcs[fold.path_ptr[fa]:fold.path_ptr[fa + 1]]
             states = [int(ga.em_next[path[0]])] + [
                 int(ga.eps_next[a]) for a in path[1:]

@@ -66,7 +66,7 @@ class TestCyclicEps:
             g, fc, lattice_beam=30.0, em_records=256, eps_records=64,
             pad_time_to=8,
         )
-        res = dec.decode(scores[None])
+        res = dec.decode(scores[None], device_prune=False)
         assert res.stats(0).arc_budget_overflows == 0, (
             "8-ring must converge inside the 16-iteration budget"
         )
@@ -104,7 +104,7 @@ class TestCyclicEps:
             g, fc, lattice_beam=30.0, em_records=256, eps_records=64,
             pad_time_to=4,
         )
-        res = dec.decode(scores[None])
+        res = dec.decode(scores[None], device_prune=False)
         # 24-ring needs 23 relaxation hops; the budget is 16 — the decode
         # must be flagged as possibly-unconverged on every frame.
         assert res.stats(0).arc_budget_overflows >= 4

@@ -74,7 +74,7 @@ class TestFoldUnderPressure:
             eps_records=2048, pad_time_to=int(lengths[0]), fold=True,
         )
         assert dec.fold is not None, "HLG must be eps-foldable"
-        res = dec.decode(scores, lengths)
+        res = dec.decode(scores, lengths, device_prune=False)
         st = res.stats(0)
         # max_active must actually bind (the pressure being tested) while
         # the frontier never saturates (exactness precondition).
@@ -108,7 +108,7 @@ class TestFoldUnderPressure:
             G, fc, lattice_beam=LATTICE_BEAM, em_records=16384,
             eps_records=2048, pad_time_to=int(lengths[0]), fold=True,
         )
-        res = dec.decode(scores, lengths)
+        res = dec.decode(scores, lengths, device_prune=False)
         st = res.stats(0)
         assert st.frontier_saturated_frames > 0, "fixture must saturate"
         hit, total = records_with_evicted_intermediates(res, dec.fold)
@@ -146,8 +146,8 @@ class TestFoldUnderPressure:
             G, fc, lattice_beam=LATTICE_BEAM, em_records=16384,
             eps_records=2048, pad_time_to=8, fold=True,
         )
-        r1 = dec.decode(scores, lengths)
-        r2 = dec.decode(scores, lengths, chunk_frames=40)
+        r1 = dec.decode(scores, lengths, device_prune=False)
+        r2 = dec.decode(scores, lengths, chunk_frames=40, device_prune=False)
         lp, lc = r1.best_path(0), r2.best_path(0)
         assert path_labels(lp) == path_labels(lc)
         assert device_link_set(r1) == device_link_set(r2)

@@ -30,7 +30,7 @@ def test_jit_and_eager_decodes_agree(fold):
             g, fc, lattice_beam=6.0, em_records=256, eps_records=64,
             pad_time_to=8, fold=fold,
         )
-        return dec.decode(scores)
+        return dec.decode(scores, device_prune=False)
 
     r_jit = run()
     with jax.disable_jit():

@@ -99,7 +99,7 @@ class TestHLScaleParity:
             g, fc, lattice_beam=LATTICE_BEAM, em_records=EM_RECORDS,
             eps_records=2048, pad_time_to=T,
         )
-        res = dec.decode(scores)
+        res = dec.decode(scores, device_prune=False)
         st = res.stats(0)
         assert float(np.mean(st.active_per_frame)) > 500, "too little pressure"
         assert st.arc_budget_overflows == 0
@@ -150,7 +150,7 @@ class TestHLScaleParity:
                 g, fc, lattice_beam=LATTICE_BEAM, em_records=r_em,
                 eps_records=2048, pad_time_to=T,
             )
-            res = dec.decode(scores)
+            res = dec.decode(scores, device_prune=False)
             dlat = res.best_path(0)
             assert dlat is not None
             assert path_labels(dlat) == path_labels(olat)
