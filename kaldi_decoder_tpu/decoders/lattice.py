@@ -475,6 +475,25 @@ class BatchedLatticeDecoder:
         work while later chunks keep executing — the async-dispatch
         pipeline the reference cannot express single-threaded).
         """
+        return self.decode_async(
+            scores, lengths, chunk_frames, device_prune
+        ).result()
+
+    def decode_async(
+        self,
+        scores: np.ndarray,
+        lengths: Optional[np.ndarray] = None,
+        chunk_frames: Optional[int] = None,
+        device_prune: bool = True,
+    ) -> "PendingDecode":
+        """Dispatch a batched decode and return immediately.
+
+        All device work (forward chunks + sweeps) is enqueued
+        asynchronously; call :meth:`PendingDecode.result` to download and
+        assemble.  Production pipelining: dispatch batch i+1, then fetch
+        and host-finalize batch i while the device decodes i+1 — host
+        lattice finalization rides entirely under device compute.
+        """
         scores = np.asarray(scores, dtype=np.float32)
         if scores.ndim == 2:
             scores = scores[None]
@@ -518,10 +537,11 @@ class BatchedLatticeDecoder:
 
             sweep_fn = build_sweep_fn(sweep_config(self.cfg, C))
 
-        with WallTimer() as timer, annotate("kdtpu.lattice_decode"):
+        timer = WallTimer()
+        with timer, annotate("kdtpu.lattice_decode"):
             # Dispatch every chunk (forward + sweep) asynchronously; the
-            # device queue serializes them while the host moves on to
-            # downloading/grouping earlier chunks below.
+            # device queue serializes them while the host is free to
+            # download/assemble earlier work.
             rem = jnp.asarray(lengths_p)
             stc = st0
             chunks = []
@@ -543,10 +563,29 @@ class BatchedLatticeDecoder:
                     o = o._replace(
                         em_records=None, eps_records=None,
                         frontier_states=None, frontier_costs=None,
-                    ) if device_prune else o
+                    )
                 rem = jnp.maximum(rem - C, 0)
                 chunks.append((lo, o, sw))
+        return PendingDecode(
+            decoder=self,
+            scores=scores,
+            lengths=lengths,
+            chunk_frames=chunk_frames,
+            device_prune=device_prune,
+            chunks=chunks,
+            init_states=init_states,
+            init_costs=init_costs,
+            init_recs=init_recs,
+            timer=timer,
+        )
 
+    def _finish(self, pending: "PendingDecode") -> LatticeResult:
+        chunks = pending.chunks
+        device_prune = pending.device_prune
+        from kaldi_decoder_tpu.utils.profiling import WallTimer
+
+        timer = WallTimer()
+        with timer:
             survivors = None
             if device_prune:
                 survivors = []
@@ -576,7 +615,8 @@ class BatchedLatticeDecoder:
                         "falling back to full host pruning"
                     )
                     return self.decode(
-                        scores, lengths, chunk_frames=chunk_frames,
+                        pending.scores, pending.lengths,
+                        chunk_frames=pending.chunk_frames,
                         device_prune=False,
                     )
                 stats = [
@@ -610,11 +650,11 @@ class BatchedLatticeDecoder:
             graph=self.graph,
             cfg=self.cfg,
             lattice_beam=self.lattice_beam,
-            scores=scores,
-            lengths=lengths,
-            init_states=init_states,
-            init_costs=init_costs,
-            init_eps_records=init_recs,
+            scores=pending.scores,
+            lengths=pending.lengths,
+            init_states=pending.init_states,
+            init_costs=pending.init_costs,
+            init_eps_records=pending.init_recs,
             frame_states=frame_states,
             frame_costs=frame_costs,
             em_records=em_records,
@@ -625,8 +665,33 @@ class BatchedLatticeDecoder:
             overflows=overflows,
             saturations=saturations,
             fold=self.fold,
-            wall_seconds=timer.elapsed,
+            wall_seconds=pending.timer.elapsed + timer.elapsed,
         )
+
+
+@dataclasses.dataclass
+class PendingDecode:
+    """A dispatched batched decode (device work enqueued, not fetched).
+
+    ``result()`` downloads and assembles into a :class:`LatticeResult`.
+    Fetch blocks only on this batch's own device work — a batch
+    dispatched after this one keeps the device busy while the host
+    finalizes this one (the production overlap; see ``bench.py``
+    ``e2e_with_lattices``)."""
+
+    decoder: "BatchedLatticeDecoder"
+    scores: np.ndarray
+    lengths: np.ndarray
+    chunk_frames: Optional[int]
+    device_prune: bool
+    chunks: list
+    init_states: np.ndarray
+    init_costs: np.ndarray
+    init_recs: np.ndarray
+    timer: object
+
+    def result(self) -> LatticeResult:
+        return self.decoder._finish(self)
 
 
 # ---------------------------------------------------------------------------
