@@ -46,7 +46,7 @@ import jax
 import jax.numpy as jnp
 
 from kaldi_decoder_tpu.fst.csr import CsrGraph
-from kaldi_decoder_tpu.fst.pack import EM_FIELDS, EPS_FIELDS, FLAT_GROUP, PackedGraph
+from kaldi_decoder_tpu.fst.pack import EM_FIELDS, EPS_FIELDS, PackedGraph
 from kaldi_decoder_tpu.ops.cutoff import get_cutoff
 from kaldi_decoder_tpu.ops.segment import dedup_select, score_lookup
 

@@ -150,11 +150,56 @@ def paths_to_fst(paths: Sequence[Path]) -> Lattice:
     return lat
 
 
+class DeterminizedAlignments:
+    """Token alignments carried through determinization.
+
+    ``arcs[(state, arc_index)]`` is the ilabel string extracted on that
+    arc (the longest common prefix of the subset's residual strings —
+    Kaldi's left-string-semiring common divisor); ``finals[state]`` is
+    the best final element's residual string.  The exact alignment of a
+    word-sequence path = concatenation of its arcs' strings + the final
+    string (see :func:`alignment_of`)."""
+
+    def __init__(self):
+        self.arcs: Dict[Tuple[int, int], Tuple[int, ...]] = {}
+        self.finals: Dict[int, Tuple[int, ...]] = {}
+
+
+def alignment_of(
+    det: Lattice, aligns: DeterminizedAlignments, words: Sequence[int]
+) -> Optional[Tuple[int, ...]]:
+    """Exact token alignment of ``words`` in a determinized lattice.
+
+    Walks the deterministic lattice (at most one arc per word per state)
+    concatenating arc strings, then appends the final state's residual.
+    Returns None when the word sequence is not in the lattice.  This is
+    the DeterminizeLatticePruned capability: alignment recovery without
+    re-enumerating the raw lattice (`lattice-simple-decoder.h:57-60`)."""
+    if det.start < 0:
+        return None
+    s = det.start
+    out: Tuple[int, ...] = ()
+    for w in words:
+        hit = None
+        for i, arc in enumerate(det.arcs(s)):
+            if arc.olabel == w:
+                hit = (i, arc)
+                break
+        if hit is None:
+            return None
+        out += aligns.arcs.get((s, hit[0]), ())
+        s = hit[1].nextstate
+    if not det.is_final(s):
+        return None
+    return out + aligns.finals.get(s, ())
+
+
 def determinize_lattice(
     lat: Lattice,
     beam: Optional[float] = None,
     max_states: int = 1_000_000,
-) -> Lattice:
+    with_alignments: bool = False,
+):
     """Exact weighted determinization over word sequences
     (DeterminizeLatticePruned semantics: the reference's
     ``determinize_lattice`` flag, `lattice-simple-decoder.h:57-60`).
@@ -168,30 +213,41 @@ def determinize_lattice(
     DeterminizeLatticePruned), which is what keeps worst-case blowup away
     on decoder output lattices.
 
-    Token-level alignments are not carried on the word arcs (our
-    ``Lattice`` arcs hold single labels, not strings); the best alignment
-    of any word sequence is recoverable exactly from the raw lattice via
-    :func:`nbest` (paths carry ilabels), matching the capability split
-    the reference delegates to downstream Kaldi tooling.
+    ``with_alignments=True`` additionally carries the input-label (token)
+    strings through the subset construction in the (weight x left-string)
+    semiring Kaldi's DeterminizeLatticePruned uses: each subset element
+    holds its residual ilabel string, each word arc extracts the longest
+    common prefix, and final states keep the best final element's
+    residual.  Returns ``(Lattice, DeterminizedAlignments)``; the exact
+    token alignment of ANY word sequence in the lattice is the
+    concatenation of its arcs' strings plus the final state's string —
+    no re-enumeration of the raw lattice needed.  (Note: keying subsets
+    on residual strings can split states the weight-only construction
+    merges, exactly as in Kaldi.)
 
     Weight pairs (g, a) compare by ``g + a`` (LatticeWeight order); the
     minimal pair is extracted onto arcs, residuals stay in subset
     elements, rounded to 1e-6 for subset hashing.
     """
+    empty = (Lattice(), DeterminizedAlignments()) if with_alignments else Lattice()
     if lat.start < 0:
-        return Lattice()
+        return empty
     beta = _beta(lat)
     if beta[lat.start] == INF:
-        return Lattice()
+        return empty
     limit = INF if beam is None else beta[lat.start] + beam + 1e-9
 
-    def closure(elems: Dict[int, Tuple[float, float]], alpha: float):
+    # Element value: (g, a) or (g, a, ilabels-tuple) with alignments.
+    def closure(elems: Dict[int, tuple], alpha: float):
         """Relax word-eps arcs (olabel == 0) to a fixed point; prune
-        elements that cannot reach a final state within the beam."""
+        elements that cannot reach a final state within the beam.
+        Word-eps arcs may still carry ilabels (token arcs that emit no
+        word); those extend the element strings."""
         work = list(elems.items())
         out = dict(elems)
         while work:
-            s, (g, a) = work.pop()
+            s, val = work.pop()
+            g, a = val[0], val[1]
             for arc in lat.arcs(s):
                 if arc.olabel != EPSILON:
                     continue
@@ -200,30 +256,71 @@ def determinize_lattice(
                     continue
                 cur = out.get(arc.nextstate)
                 if cur is None or ng + na < cur[0] + cur[1]:
-                    out[arc.nextstate] = (ng, na)
-                    work.append((arc.nextstate, (ng, na)))
+                    if with_alignments:
+                        ns = val[2] + (
+                            (arc.ilabel,) if arc.ilabel != EPSILON else ()
+                        )
+                        nv = (ng, na, ns)
+                    else:
+                        nv = (ng, na)
+                    out[arc.nextstate] = nv
+                    work.append((arc.nextstate, nv))
         return {
-            s: w for s, w in out.items() if alpha + w[0] + w[1] + beta[s] <= limit
+            s: v
+            for s, v in out.items()
+            if alpha + v[0] + v[1] + beta[s] <= limit
         }
 
-    def normalize(elems: Dict[int, Tuple[float, float]]):
-        """Extract the minimal weight pair; key the residual subset."""
-        mng, mna = min(elems.values(), key=lambda w: w[0] + w[1])
-        resid = {s: (g - mng, a - mna) for s, (g, a) in elems.items()}
-        key = frozenset(
-            (s, round(g, 6), round(a, 6)) for s, (g, a) in resid.items()
+    def lcp(strings):
+        first = min(strings, key=len)
+        n = len(first)
+        for s in strings:
+            i = 0
+            m = min(n, len(s))
+            while i < m and s[i] == first[i]:
+                i += 1
+            n = i
+            if n == 0:
+                break
+        return first[:n]
+
+    def normalize(elems: Dict[int, tuple]):
+        """Extract the minimal weight pair (and the LCP string with
+        alignments); key the residual subset."""
+        mng, mna = min(
+            ((v[0], v[1]) for v in elems.values()),
+            key=lambda w: w[0] + w[1],
         )
-        return key, (mng, mna), resid
+        if with_alignments:
+            common = lcp([v[2] for v in elems.values()])
+            cn = len(common)
+            resid = {
+                s: (g - mng, a - mna, st[cn:])
+                for s, (g, a, st) in elems.items()
+            }
+            key = frozenset(
+                (s, round(g, 6), round(a, 6), st)
+                for s, (g, a, st) in resid.items()
+            )
+            return key, (mng, mna), common, resid
+        resid = {s: (v[0] - mng, v[1] - mna) for s, v in elems.items()}
+        key = frozenset(
+            (s, round(v[0], 6), round(v[1], 6)) for s, v in resid.items()
+        )
+        return key, (mng, mna), (), resid
 
     out = Lattice()
-    start_elems = closure({lat.start: (0.0, 0.0)}, 0.0)
+    aligns = DeterminizedAlignments()
+    zero = (0.0, 0.0, ()) if with_alignments else (0.0, 0.0)
+    start_elems = closure({lat.start: zero}, 0.0)
     if not start_elems:
-        return Lattice()
+        return empty
     # No weight extraction at the start subset (a Lattice has no initial
     # weight); its residuals are absolute. lat.start has residual (0, 0)
     # so they are already normalized in the usual case.
     key0 = frozenset(
-        (s, round(g, 6), round(a, 6)) for s, (g, a) in start_elems.items()
+        ((s,) + tuple(round(x, 6) for x in v[:2]) + ((v[2],) if with_alignments else ()))
+        for s, v in start_elems.items()
     )
     ids: Dict[frozenset, int] = {key0: out.add_state()}
     out.set_start(ids[key0])
@@ -241,18 +338,25 @@ def determinize_lattice(
             continue
         done.add(sid)
         resid, alpha = info[sid]
-        # Final weight: min over final elements.
+        # Final weight: min over final elements (its residual string is
+        # the alignment tail after the last word).
         fg, fa = INF, INF
-        for s, (g, a) in resid.items():
+        fstr = ()
+        for s, v in resid.items():
             if lat.is_final(s):
                 wg, wa = lat.final(s)
-                if g + wg + a + wa < fg + fa:
-                    fg, fa = g + wg, a + wa
+                if v[0] + wg + v[1] + wa < fg + fa:
+                    fg, fa = v[0] + wg, v[1] + wa
+                    if with_alignments:
+                        fstr = v[2]
         if fg + fa < INF:
             out.set_final(sid, (fg, fa))
+            if with_alignments:
+                aligns.finals[sid] = fstr
         # Group outgoing word arcs.
-        by_word: Dict[int, Dict[int, Tuple[float, float]]] = {}
-        for s, (g, a) in resid.items():
+        by_word: Dict[int, Dict[int, tuple]] = {}
+        for s, v in resid.items():
+            g, a = v[0], v[1]
             for arc in lat.arcs(s):
                 if arc.olabel == EPSILON:
                     continue
@@ -262,12 +366,18 @@ def determinize_lattice(
                 d = by_word.setdefault(arc.olabel, {})
                 cur = d.get(arc.nextstate)
                 if cur is None or ng + na < cur[0] + cur[1]:
-                    d[arc.nextstate] = (ng, na)
+                    if with_alignments:
+                        ns = v[2] + (
+                            (arc.ilabel,) if arc.ilabel != EPSILON else ()
+                        )
+                        d[arc.nextstate] = (ng, na, ns)
+                    else:
+                        d[arc.nextstate] = (ng, na)
         for w, elems in sorted(by_word.items()):
             elems = closure(elems, alpha)
             if not elems:
                 continue
-            key, (wg, wa), resid_n = normalize(elems)
+            key, (wg, wa), common, resid_n = normalize(elems)
             child_alpha = alpha + wg + wa
             if key not in ids:
                 if len(ids) >= max_states:
@@ -282,7 +392,11 @@ def determinize_lattice(
                 # Cheaper det path to the same subset: lazy decrease-key.
                 info[ids[key]] = (resid_n, child_alpha)
                 heapq.heappush(queue, (child_alpha, ids[key]))
+            if with_alignments:
+                aligns.arcs[(sid, out.num_arcs(sid))] = common
             out.add_arc(sid, w, w, (wg, wa), ids[key])
+    if with_alignments:
+        return out, aligns
     return out
 
 

@@ -59,7 +59,7 @@ def main():
     )
     from kaldi_decoder_tpu.decoders.lattice_dev import lattice_emit_stage
     from kaldi_decoder_tpu.decoders.viterbi import _maybe_fold
-    from kaldi_decoder_tpu.ops.segment import dedup_select_rec, score_lookup
+    from kaldi_decoder_tpu.ops.segment import dedup_select_rec
     from kaldi_decoder_tpu.ops.cutoff import get_cutoff
 
     g = load_graph_npz(REPO / ".bench_cache/hlg_v500_w5000_s0.npz")

@@ -35,7 +35,8 @@ def main():
     dec = BatchedLatticeDecoder(
         g, fc, lattice_beam=8.0, em_records=R, eps_records=1024, pad_time_to=T,
     )
-    for B in [int(x) for x in (sys.argv[1].split(",") if len(sys.argv) > 1 else ["8", "16", "32"])]:
+    for B in [int(x) for x in (sys.argv[1].split(",") if len(sys.argv) > 1 else ["8",
+        "16", "32"])]:
         scores = np.log(
             rng.dirichlet(np.ones(V), size=(B, T)).astype(np.float32)
         ).astype(np.float32)

@@ -2,7 +2,6 @@
 """Round-4 gather attacks: sorted-index XLA gather, and a Pallas
 VMEM-resident block-gather kernel (table fits VMEM at bench scale)."""
 
-import functools
 import pathlib
 import sys
 import time

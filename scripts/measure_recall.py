@@ -98,7 +98,10 @@ def main():
             data = (
                 json.loads(rfile.read_text()) if rfile.exists() else {}
             )
-            key = f"em{r_em}_rem{B.REM_BUDGET}_f{B.FRONTIER}"
+            key = (
+                f"em{r_em}_rem{B.REM_BUDGET}_f{B.FRONTIER}_b{B.BEAM:g}"
+                f"_ma{B.MAX_ACTIVE}"
+            )
             data[key] = out["recall"]
             rfile.write_text(json.dumps(data, indent=1))
 

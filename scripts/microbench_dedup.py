@@ -63,7 +63,8 @@ st0, _, _, _ = dec._init(B)
 
 def timeit(name, fn, *args):
     out = fn(*args)
-    jax.tree.map(lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x, out)
+    jax.tree.map(lambda x: x.block_until_ready() if hasattr(x,
+        "block_until_ready") else x, out)
     # axon relay: scalar fetch as barrier
     leaf = jax.tree.leaves(out)[0]
     np.asarray(leaf).ravel()[:1]
@@ -88,7 +89,8 @@ from kaldi_decoder_tpu.decoders.lattice_dev import lattice_emit_stage
 from kaldi_decoder_tpu.ops import segment as seg
 
 states0 = jnp.tile(jnp.arange(K, dtype=jnp.int32)[None] % S, (B, 1))
-costs0 = jnp.tile(jnp.sort(jnp.abs(jax.random.normal(jax.random.PRNGKey(0), (K,)) * 3))[None], (B, 1))
+costs0 = jnp.tile(jnp.sort(jnp.abs(jax.random.normal(jax.random.PRNGKey(0),
+    (K,)) * 3))[None], (B, 1))
 stK = StepState(states0, costs0, jnp.zeros((B,), jnp.float32))
 active = jnp.ones((B, K), bool)
 
@@ -104,8 +106,14 @@ def loop(fn):
 @jax.jit
 def bench_expand(st, sc):
     def body(i, acc):
-        cand = jax.vmap(lambda s, z: expand_emitting(s, active[0], z, pg, fcd))(st, sc[:, i % ITER])
-        return acc + jnp.sum(jnp.where(jnp.isfinite(cand.cost), cand.cost, 0.0)) + (jnp.sum(cand.dst) + jnp.sum(cand.src_slot) + jnp.sum(cand.arc_id)).astype(jnp.float32) * 1e-12
+        cand = jax.vmap(lambda s, z: expand_emitting(s, active[0], z, pg, fcd))(st, sc[:,
+            i % ITER])
+        extras = (
+            jnp.sum(cand.dst) + jnp.sum(cand.src_slot) + jnp.sum(cand.arc_id)
+        ).astype(jnp.float32)
+        return acc + jnp.sum(
+            jnp.where(jnp.isfinite(cand.cost), cand.cost, 0.0)
+        ) + extras * 1e-12
     return jax.lax.fori_loop(0, SUB, body, 0.0)
 
 timeit("expand_emitting (incl. score matmul)", bench_expand, stK, scores)
@@ -133,7 +141,8 @@ cco = jnp.abs(jax.random.normal(key, (B, N)) * 5)
 def bench_sort(cs, cc):
     def body(i, acc):
         idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
-        s2, c2, i2 = jax.vmap(lambda a, b, c: jax.lax.sort((a, b, c), num_keys=1))(cs + i * 0, cc, idx)
+        s2, c2, i2 = jax.vmap(lambda a, b, c: jax.lax.sort((a, b, c),
+            num_keys=1))(cs + i * 0, cc, idx)
         return acc + jnp.sum(c2[:, :1])
     return jax.lax.fori_loop(0, SUB, body, 0.0)
 
@@ -163,7 +172,8 @@ def bench_scan4(cc):
         def op(a, bb):
             fa, ca, ia, sa = a
             fb, cb, ib, sb = bb
-            return (fa | fb, jnp.where(fb, cb, ca), jnp.where(fb, ib, ia), jnp.where(fb, sb, sa))
+            return (fa | fb, jnp.where(fb, cb, ca), jnp.where(fb, ib, ia), jnp.where(fb,
+                sb, sa))
         f = cc > 2.0
         r = jax.vmap(lambda ff, c: jax.lax.associative_scan(
             op, (ff, c + i * 0, jnp.arange(N, dtype=jnp.int32), ff)))(f, cc)
@@ -200,8 +210,10 @@ timeit("empty-loop floor", bench_floor, cco)
 @jax.jit
 def bench_rec(cs, cc):
     def body(i, acc):
-        sel = jax.vmap(lambda a, b: seg.dedup_select_rec(a + i * 0, b, K, S, EM_RECORDS, 8.0))(cs, cc)
-        return acc + jnp.sum(sel.costs[:, 0]) + jnp.sum(sel.recs[0]).astype(jnp.float32) * 1e-9
+        sel = jax.vmap(lambda a, b: seg.dedup_select_rec(a + i * 0, b, K, S, EM_RECORDS,
+            8.0))(cs, cc)
+        return acc + jnp.sum(sel.costs[:,
+            0]) + jnp.sum(sel.recs[0]).astype(jnp.float32) * 1e-9
     return jax.lax.fori_loop(0, SUB, body, 0.0)
 
 timeit("dedup_select_rec (full)", bench_rec, cst, cco)
@@ -210,7 +222,8 @@ timeit("dedup_select_rec (full)", bench_rec, cst, cco)
 def bench_dedup(cs, cc):
     def body(i, acc):
         sel = jax.vmap(lambda a, b: seg.dedup_select(a + i * 0, b, K, S))(cs, cc)
-        return acc + jnp.sum(sel.costs[:, 0]) + jnp.sum(sel.cand_idx).astype(jnp.float32) * 1e-9
+        return acc + jnp.sum(sel.costs[:,
+            0]) + jnp.sum(sel.cand_idx).astype(jnp.float32) * 1e-9
     return jax.lax.fori_loop(0, SUB, body, 0.0)
 
 timeit("dedup_select (no records)", bench_dedup, cst, cco)

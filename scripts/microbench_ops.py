@@ -24,7 +24,10 @@ import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 
-from kaldi_decoder_tpu.decoders.frontier import StepState, config_for_graph, expand_emitting
+from kaldi_decoder_tpu.decoders.frontier import (
+    config_for_graph,
+    expand_emitting,
+)
 from kaldi_decoder_tpu.decoders.lattice import BatchedLatticeDecoder
 from kaldi_decoder_tpu.fst.csr import load_graph_npz
 from kaldi_decoder_tpu.ops.cutoff import get_cutoff

@@ -185,12 +185,14 @@ def main():
             return jax.vmap(lambda *o: jax.lax.sort(tuple(o), num_keys=nkeys))(*ops)[0]
         return f
 
-    bench_op("sort 5 ops 2 keys (current sort1)", mk_sort(5, 2), state, cost, pay1, pay2, idx)
+    bench_op("sort 5 ops 2 keys (current sort1)", mk_sort(5, 2), state, cost, pay1, pay2,
+        idx)
     bench_op("sort 4 ops 2 keys", mk_sort(4, 2), state, cost, pay1, pay2, idx)
     bench_op("sort 3 ops 2 keys", mk_sort(3, 2), state, cost, pay1, pay2, idx)
     bench_op("sort 3 ops 1 key", mk_sort(3, 1), state, cost, pay1, pay2, idx)
     bench_op("sort 2 ops 2 keys", mk_sort(2, 2), state, cost, pay1, pay2, idx)
-    bench_op("sort 2 ops 1 key (current sort2 shape)", mk_sort(2, 1), state, cost, pay1, pay2, idx)
+    bench_op("sort 2 ops 1 key (current sort2 shape)", mk_sort(2, 1), state, cost, pay1,
+        pay2, idx)
 
     def f_packed(s, co, p1):
         cq = jnp.clip((co * (32767.0 / 16.0)).astype(jnp.int32), 0, 32767)

@@ -390,3 +390,66 @@ class TestPost:
                 assert a == pytest.approx(oa, abs=1e-3)
                 hits += 1
         assert hits > 0
+
+
+class TestDeterminizeAlignments:
+    """DeterminizeLatticePruned's alignment capability (VERDICT r3 #7):
+    token strings carried through subset construction in the
+    (weight x left-string) semiring; the exact alignment of ANY word
+    sequence is recoverable from the determinized lattice alone
+    (`lattice-simple-decoder.h:57-60`)."""
+
+    def _lat(self, seed=5, t=6):
+        rng = np.random.default_rng(seed)
+        V = 4
+        fst = random_fst(12, V, rng)
+        g = compile_fst(fst)
+        fc = config_for_graph(g, beam=1000.0, min_active=0, frontier_size=16)
+        dec = BatchedLatticeDecoder(g, fc, lattice_beam=6.0, pad_time_to=8)
+        res = dec.decode(rand_logp(rng, t, V))
+        lat = res.raw_lattice(0)
+        assert lat is not None
+        return lat
+
+    @pytest.mark.parametrize("seed", [5, 6, 9])
+    def test_alignments_match_bruteforce(self, seed):
+        from kaldi_decoder_tpu.lattice.post import alignment_of
+
+        lat = self._lat(seed)
+        det, aligns = determinize_lattice(lat, with_alignments=True)
+        # Brute force: best alignment per word sequence from the raw
+        # lattice (nbest paths come out cheapest-first).
+        best_align = {}
+        best_cost = {}
+        for ils, ols, gc, ac in nbest(lat, 20000):
+            if ols not in best_align:
+                best_align[ols] = ils
+                best_cost[ols] = gc + ac
+        assert best_align, "empty lattice"
+        checked = 0
+        for ols, ils in best_align.items():
+            got = alignment_of(det, aligns, list(ols))
+            assert got is not None, f"word seq {ols} missing from det lattice"
+            assert got == ils, (ols, got, ils)
+            checked += 1
+        assert checked >= 3  # non-trivial case
+
+    def test_alignment_weights_match_weight_only_det(self):
+        lat = self._lat(6)
+        det_w = determinize_lattice(lat)
+        det_a, _ = determinize_lattice(lat, with_alignments=True)
+        # Same word sequences at the same minimal costs (states may split
+        # more in the string semiring, but the weighted language is equal).
+        def seq_costs(d):
+            out = {}
+            for _, ols, gc, ac in nbest(d, 20000):
+                out.setdefault(ols, round(gc + ac, 4))
+            return out
+        assert seq_costs(det_w) == seq_costs(det_a)
+
+    def test_alignment_absent_sequence_is_none(self):
+        from kaldi_decoder_tpu.lattice.post import alignment_of
+
+        lat = self._lat(9)
+        det, aligns = determinize_lattice(lat, with_alignments=True)
+        assert alignment_of(det, aligns, [1, 1, 1, 1, 1, 1, 1, 2]) is None

@@ -17,7 +17,7 @@ import pytest
 
 from kaldi_decoder_tpu.decoders import BatchedLatticeDecoder
 from kaldi_decoder_tpu.decoders.frontier import config_for_graph
-from kaldi_decoder_tpu.fst import compile_fst, path_labels
+from kaldi_decoder_tpu.fst import path_labels
 from kaldi_decoder_tpu.fst.hlg import make_hlg, make_utterances
 from kaldi_decoder_tpu.fst.synthetic import synthetic_graph
 
