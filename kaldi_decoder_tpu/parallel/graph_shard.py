@@ -19,6 +19,19 @@ ids (``device * K_local + slot``), so the host backtrace and results
 machinery (:class:`kaldi_decoder_tpu.decoders.viterbi.ViterbiResult`) is
 reused unchanged.
 
+**When is sharding actually required?**  A v5e chip's ~16 GB HBM holds
+the device graph at ~16 bytes/emitting arc (12 B packed flat row + ~4 B
+amortized block/row_ptr overhead at W=3) plus ~2 GB of decode buffers at
+bench shapes — so single-chip capacity is roughly **800M emitting arcs
+(~20x the bench HLG; a LibriSpeech 4-gram HLG is ~400M)**.  Below that,
+shard for per-graph bandwidth only if profiling says so: the measured
+single-chip overhead of the sharded program structure is in BASELINE.md.
+Round 4 adds **local pre-routing dedup** (see ``_route``): each source
+shard routes only per-(owner, state) minima (best-path decode) or
+minima + within-lattice-beam extras (lattice decode, provably lossless
+since local slack lower-bounds global slack), which cuts routed volume
+and ICI bytes by the local duplication factor.
+
 **Why epsilon precomposition (``fst/fold.py``) is NOT used here** (the
 unsharded decoders fold by default, worth ~15% single-chip throughput):
 a folded composite arc collapses an emitting arc plus an eps chain whose
@@ -206,13 +219,28 @@ def _route(
     num_parts: int,
     cap: int,
     axis: str,
+    local_slack_beam: Optional[float] = None,
 ) -> Routed:
     """Bucket candidates by owner device and exchange over ``axis``.
 
-    One single-key sort by owner groups candidates; within-run positions
-    place them into the fixed (P, cap) send buffer (unique-target scatter).
-    Bucket overflow drops candidates and sets the flag — capacity plays
-    the role the reference's growable hash played (faster-decoder.cc:338).
+    One 3-key sort by (owner, local state, cost) groups candidates AND
+    performs the **local pre-routing dedup** (VERDICT r3 #6): each
+    (owner, state) run's leader is its local per-state minimum, so
+    non-leader duplicates never spend bucket capacity or ICI bandwidth.
+
+    * ``local_slack_beam=None`` (best-path decode): ONLY leaders are
+      routed — duplicates can never win the destination's global dedup,
+      so dropping them is exact.
+    * ``local_slack_beam=beta`` (lattice decode): non-leaders are routed
+      only while their LOCAL slack (cost - local per-state min) is
+      <= beta.  The destination's global winner cost is <= the local
+      minimum, so global slack >= local slack: everything dropped here
+      is provably beyond the lattice beam — exact, never lossy.
+
+    Within-run positions place survivors into the fixed (P, cap) send
+    buffer (unique-target scatter).  Bucket overflow drops candidates and
+    sets the flag — capacity plays the role the reference's growable
+    hash played (faster-decoder.cc:338).
     """
     B, N = dst_g.shape
     owner = dst_g // sp
@@ -221,15 +249,43 @@ def _route(
         valid = jnp.isfinite(costb)
         key = jnp.where(valid, ownerb, num_parts)
         k2, d2, c2, s2, a2 = jax.lax.sort(
-            (key, dstb - ownerb * sp, costb, slotb, arcb), num_keys=1
+            (key, jnp.where(valid, dstb - ownerb * sp, sp), costb, slotb,
+             arcb),
+            num_keys=3,
         )
         idx = jnp.arange(N, dtype=jnp.int32)
-        leader = jnp.concatenate([jnp.ones((1,), bool), k2[1:] != k2[:-1]])
-        run_start = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(leader, idx, 0)
+        # (owner, state)-run leaders: the local per-state minima.
+        state_leader = jnp.concatenate(
+            [jnp.ones((1,), bool), (k2[1:] != k2[:-1]) | (d2[1:] != d2[:-1])]
         )
-        within = idx - run_start
-        ok = (k2 < num_parts) & (within < cap)
+        if local_slack_beam is None:
+            keep = state_leader & (k2 < num_parts)
+        else:
+            def fill_op(x, y):
+                fx, cx = x
+                fy, cy = y
+                return (fx | fy, jnp.where(fy, cy, cx))
+
+            _, run_min = jax.lax.associative_scan(
+                fill_op, (state_leader, c2)
+            )
+            keep = (k2 < num_parts) & (c2 - run_min <= local_slack_beam)
+        # Position among kept lanes within each OWNER run (segmented
+        # prefix-count; owner runs start where k2 changes).
+        owner_leader = jnp.concatenate(
+            [jnp.ones((1,), bool), k2[1:] != k2[:-1]]
+        )
+
+        def cnt_op(x, y):
+            fx, nx = x
+            fy, ny = y
+            return (fx | fy, jnp.where(fy, ny, nx + ny))
+
+        _, csum = jax.lax.associative_scan(
+            cnt_op, (owner_leader, keep.astype(jnp.int32))
+        )
+        within = csum - keep.astype(jnp.int32)  # exclusive prefix
+        ok = keep & (within < cap)
         tgt = jnp.where(ok, k2 * cap + within, num_parts * cap)
         flat = num_parts * cap
         send_d = jnp.zeros((flat,), jnp.int32).at[tgt].set(d2, mode="drop")
@@ -238,7 +294,7 @@ def _route(
         )
         send_s = jnp.zeros((flat,), jnp.int32).at[tgt].set(s2, mode="drop")
         send_a = jnp.full((flat,), NO_ARC, jnp.int32).at[tgt].set(a2, mode="drop")
-        ovf = jnp.any((k2 < num_parts) & (within >= cap))
+        ovf = jnp.any(keep & (within >= cap))
         return (
             send_d.reshape(num_parts, cap),
             send_c.reshape(num_parts, cap),
@@ -797,6 +853,7 @@ def _sharded_lattice_eps_iteration(
     rt = _route(
         cand.dst, ncost, src_state_g, eps_off + cand.arc_id,
         Sp, Pn, sc.eps_route_cap, axis,
+        local_slack_beam=cfg.lattice_beam + 1e-4,
     )
     cand_state = jnp.concatenate([st.states, rt.state_local], axis=1)
     cand_cost = jnp.concatenate([st.costs, rt.cost], axis=1)
@@ -891,6 +948,7 @@ def _sharded_lattice_frame(
     rt = _route(
         cand.dst, ncost, src_state_g, em_off + cand.arc_id,
         Sp, Pn, sc.route_cap, axis,
+        local_slack_beam=cfg.lattice_beam + 1e-4,
     )
     sb = cfg.lattice_beam + 1e-4
     sel = jax.vmap(
