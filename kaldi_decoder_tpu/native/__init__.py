@@ -98,6 +98,12 @@ def _declare(lib: ctypes.CDLL) -> None:
         _i64, _i64, _i64, _f32p, ctypes.c_float, _i64, _i64,
         ctypes.c_float, _i64p,
     ]
+    lib.kd_decode_lattice.restype = ctypes.c_double
+    lib.kd_decode_lattice.argtypes = [
+        _i64, _i32p, _i32p, _f32p, _i32p, _i32p, _i32p, _f32p, _f32p,
+        _i64, _i64, _i64, _f32p, ctypes.c_float, _i64, _i64,
+        ctypes.c_float, ctypes.c_float, _i64, _i64p,
+    ]
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -334,6 +340,49 @@ def decode_faster(
         stats,
     )
     return float(best), int(stats[0]), int(stats[1])
+
+
+def decode_lattice(
+    graph,
+    scores: np.ndarray,  # (T, V) float32 log-probs
+    beam: float = 16.0,
+    max_active: int = 2**63 - 1,
+    min_active: int = 20,
+    beam_delta: float = 0.5,
+    lattice_beam: float = 10.0,
+    prune_interval: int = 25,
+):
+    """Single-threaded C++ LATTICE-mode decode: LatticeSimpleDecoder's
+    token/ForwardLink structure + windowed backward pruning, unioned with
+    FasterDecoder's max-active cutoffs (kd_decode_lattice in
+    csrc/kdtpu_host.cc) — the apples-to-apples CPU baseline for the
+    bench's lattice decode.
+
+    Returns (best_final_cost, {frames, tokens, links, tokens_live,
+    links_live})."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    ga = graph.arrays
+    scores = np.ascontiguousarray(scores, np.float32)
+    T, V = scores.shape
+    stats = np.zeros(5, np.int64)
+    best = lib.kd_decode_lattice(
+        graph.num_states,
+        np.ascontiguousarray(ga.em_row_ptr, np.int32),
+        np.ascontiguousarray(ga.em_next, np.int32),
+        np.ascontiguousarray(ga.em_weight, np.float32),
+        np.ascontiguousarray(ga.em_score_idx, np.int32),
+        np.ascontiguousarray(ga.eps_row_ptr, np.int32),
+        np.ascontiguousarray(ga.eps_next, np.int32),
+        np.ascontiguousarray(ga.eps_weight, np.float32),
+        np.ascontiguousarray(ga.final_cost, np.float32),
+        graph.start_state, T, V, scores.reshape(-1),
+        float(beam), int(max_active), int(min_active), float(beam_delta),
+        float(lattice_beam), int(prune_interval), stats,
+    )
+    keys = ("frames", "tokens", "links", "tokens_live", "links_live")
+    return float(best), dict(zip(keys, (int(x) for x in stats)))
 
 
 def shortest_path_arrays(

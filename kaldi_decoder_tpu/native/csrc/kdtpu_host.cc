@@ -839,4 +839,192 @@ double kd_decode_faster(
   return best_final;
 }
 
+// -- Single-threaded lattice-mode baseline ------------------------------------
+// The apples-to-apples CPU baseline for the bench's lattice decode:
+// LatticeSimpleDecoder's token/ForwardLink structure and windowed backward
+// pruning (lattice-simple-decoder.cc:53-73 loop, :198-305 PruneActiveTokens /
+// PruneForwardLinks, :364-402 ProcessEmitting link creation) UNIONED with
+// FasterDecoder's GetCutoff max-active/adaptive-beam (faster-decoder.cc:
+// 244-336) — the same capability the device decoder provides.  Original
+// implementation over the CSR arrays.
+//
+// Returns the best final cost; out_stats = {frames, tokens_created,
+// links_created, tokens_live, links_live}.
+double kd_decode_lattice(
+    int64_t S, const int32_t* em_row_ptr, const int32_t* em_next,
+    const float* em_w, const int32_t* em_sidx, const int32_t* eps_row_ptr,
+    const int32_t* eps_next, const float* eps_w, const float* final_cost,
+    int64_t start, int64_t T, int64_t V, const float* scores, float beam,
+    int64_t max_active, int64_t min_active, float beam_delta,
+    float lattice_beam, int64_t prune_interval, int64_t* out_stats) {
+  const double inf = std::numeric_limits<double>::infinity();
+  struct Tok {
+    double cost;
+    double extra;
+    int32_t link_head;  // index into links, -1 none
+  };
+  struct Link {
+    int32_t dst;      // token arena index
+    float w;          // graph + acoustic cost of the arc
+    int32_t next;     // next link of the same src token
+    bool alive;
+  };
+  std::vector<Tok> toks;
+  std::vector<Link> links;
+  toks.reserve(1 << 16);
+  links.reserve(1 << 18);
+  // frames[f]: state -> token index for frame f tokens.
+  std::vector<std::unordered_map<int32_t, int32_t>> frames(1);
+
+  auto add_link = [&](int32_t src, int32_t dst, double w) {
+    links.push_back({dst, static_cast<float>(w), toks[static_cast<size_t>(src)].link_head, true});
+    toks[static_cast<size_t>(src)].link_head = static_cast<int32_t>(links.size() - 1);
+  };
+  auto new_tok = [&](std::unordered_map<int32_t, int32_t>& m, int32_t s,
+                     double c) {
+    auto it = m.find(s);
+    if (it == m.end()) {
+      toks.push_back({c, 0.0, -1});
+      int32_t idx = static_cast<int32_t>(toks.size() - 1);
+      m[s] = idx;
+      return std::pair<int32_t, bool>(idx, true);
+    }
+    bool better = c < toks[static_cast<size_t>(it->second)].cost;
+    if (better) toks[static_cast<size_t>(it->second)].cost = c;
+    return std::pair<int32_t, bool>(it->second, better);
+  };
+
+  // Eps closure creating links (lattice-simple-decoder.cc:122-191).
+  std::vector<int32_t> queue;
+  auto process_nonemitting = [&](std::unordered_map<int32_t, int32_t>& m,
+                                 double cutoff) {
+    queue.clear();
+    for (auto& kv : m) queue.push_back(kv.first);
+    while (!queue.empty()) {
+      int32_t s = queue.back();
+      queue.pop_back();
+      int32_t me = m[s];
+      double c = toks[static_cast<size_t>(me)].cost;
+      if (c > cutoff) continue;
+      for (int32_t a = eps_row_ptr[s]; a < eps_row_ptr[s + 1]; ++a) {
+        double nc = c + static_cast<double>(eps_w[a]);
+        if (nc > cutoff) continue;
+        auto [idx, improved] = new_tok(m, eps_next[a], nc);
+        add_link(me, idx, static_cast<double>(eps_w[a]));
+        if (improved) queue.push_back(eps_next[a]);
+      }
+    }
+  };
+
+  // Backward extra-cost sweep over frames [0, upto] with the live
+  // frontier's extras at 0 (PruneActiveTokens semantics).
+  auto sweep = [&](size_t upto) {
+    for (auto& kv : frames[upto])
+      toks[static_cast<size_t>(kv.second)].extra = 0.0;
+    for (size_t f = upto; f-- > 0;) {
+      for (auto& kv : frames[f]) {
+        Tok& t = toks[static_cast<size_t>(kv.second)];
+        double ex = inf;
+        for (int32_t li = t.link_head; li >= 0; li = links[static_cast<size_t>(li)].next) {
+          Link& lk = links[static_cast<size_t>(li)];
+          if (!lk.alive) continue;
+          Tok& d = toks[static_cast<size_t>(lk.dst)];
+          double slack = t.cost + static_cast<double>(lk.w) - d.cost;
+          double le = d.extra + (slack < 0 ? 0 : slack);
+          if (le > lattice_beam) {
+            lk.alive = false;
+            continue;
+          }
+          if (le < ex) ex = le;
+        }
+        t.extra = ex;
+      }
+      // (token deletion is represented by extra == inf; map erase elided —
+      // the reference's PruneTokensForFrame frees them, we only need the
+      // equivalent traversal work for an honest baseline)
+    }
+  };
+
+  std::vector<float> tmp;
+  auto get_cutoff = [&](std::unordered_map<int32_t, int32_t>& m,
+                        double* adaptive_beam) {
+    double best = inf;
+    tmp.clear();
+    for (auto& kv : m) {
+      double c = toks[static_cast<size_t>(kv.second)].cost;
+      tmp.push_back(static_cast<float>(c));
+      if (c < best) best = c;
+    }
+    double beam_cutoff = best + static_cast<double>(beam);
+    double max_cut = inf;
+    if (static_cast<int64_t>(tmp.size()) > max_active) {
+      std::nth_element(tmp.begin(), tmp.begin() + max_active, tmp.end());
+      max_cut = static_cast<double>(tmp[static_cast<size_t>(max_active)]);
+    }
+    if (max_cut < beam_cutoff) {
+      *adaptive_beam = max_cut - best + static_cast<double>(beam_delta);
+      return max_cut;
+    }
+    *adaptive_beam = beam;
+    return beam_cutoff;
+  };
+
+  toks.push_back({0.0, 0.0, -1});
+  frames[0][static_cast<int32_t>(start)] = 0;
+  process_nonemitting(frames[0], inf);
+
+  int64_t frames_done = 0;
+  for (int64_t t = 0; t < T && !frames[static_cast<size_t>(t)].empty();
+       ++t, ++frames_done) {
+    auto& cur = frames[static_cast<size_t>(t)];
+    double adaptive_beam = beam;
+    double cutoff = get_cutoff(cur, &adaptive_beam);
+    const float* row = scores + t * V;
+    frames.emplace_back();
+    auto& nxt = frames.back();
+    double next_cutoff = inf;
+    for (auto& kv : cur) {
+      int32_t s = kv.first;
+      int32_t me = kv.second;
+      double c = toks[static_cast<size_t>(me)].cost;
+      if (c > cutoff) continue;
+      for (int32_t a = em_row_ptr[s]; a < em_row_ptr[s + 1]; ++a) {
+        double w = static_cast<double>(em_w[a]) -
+                   static_cast<double>(row[em_sidx[a]]);
+        double nc = c + w;
+        if (nc >= next_cutoff) continue;
+        if (nc + adaptive_beam < next_cutoff) next_cutoff = nc + adaptive_beam;
+        auto [idx, improved] = new_tok(nxt, em_next[a], nc);
+        add_link(me, idx, w);
+        (void)improved;
+      }
+    }
+    process_nonemitting(nxt, next_cutoff);
+    if ((t + 1) % prune_interval == 0) sweep(static_cast<size_t>(t + 1));
+  }
+  sweep(frames.size() - 1);
+
+  double best_final = inf;
+  for (auto& kv : frames.back()) {
+    double fc = static_cast<double>(final_cost[kv.first]);
+    if (std::isfinite(fc)) {
+      double c = toks[static_cast<size_t>(kv.second)].cost + fc;
+      if (c < best_final) best_final = c;
+    }
+  }
+  int64_t toks_live = 0, links_live = 0;
+  for (auto& t : toks)
+    if (std::isfinite(t.extra) && t.extra <= lattice_beam) toks_live++;
+  for (auto& l : links)
+    if (l.alive) links_live++;
+  if (out_stats) {
+    out_stats[0] = frames_done;
+    out_stats[1] = static_cast<int64_t>(toks.size());
+    out_stats[2] = static_cast<int64_t>(links.size());
+    out_stats[3] = toks_live;
+    out_stats[4] = links_live;
+  }
+  return best_final;
+}
+
 }  // extern "C"
