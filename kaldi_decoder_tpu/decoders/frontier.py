@@ -117,9 +117,30 @@ class FrontierConfig:
             raise ValueError("lane budgets must be >= 1")
 
     @property
+    def expand_lanes(self) -> int:
+        """Frontier prefix length the emitting expansion reads.
+
+        The frontier is cost-sorted and ``GetCutoff`` admits at most
+        ``max_active`` tokens under its strict ``<`` cutoff in every
+        branch (`faster-decoder.cc:297-336`: the max-active branch cuts
+        at the (max_active+1)-th order statistic; the min-active branch
+        at the (min_active+1)-th with min_active < max_active; the beam
+        branch only fires when the max-active statistic already bounds
+        the strict count), so active lanes are always a prefix of length
+        <= max_active: lanes beyond it need no arc gather at all.  This
+        is the single biggest HBM-gather saving at bench shapes
+        (K=4096, max_active=3000 -> 25% fewer block rows and candidate
+        lanes)."""
+        if self.max_active >= self.frontier_size:
+            return self.frontier_size
+        return min(
+            self.frontier_size, max(8, -(-self.max_active // 8) * 8)
+        )
+
+    @property
     def num_candidates(self) -> int:
         units = -(-self.rem_budget // self.flat_group)
-        return self.frontier_size * self.block_width + units * self.flat_group
+        return self.expand_lanes * self.block_width + units * self.flat_group
 
 
 def _next_pow2(x: int) -> int:
@@ -221,11 +242,17 @@ def _bitcast_f32(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(x, jnp.float32)
 
 
-def _owner_of_lanes(n_units: jnp.ndarray, budget: int) -> jnp.ndarray:
-    """Which slot owns each of ``budget`` flat lanes, given per-slot unit
-    counts (segment starts scattered + running max; map_lanes semantics,
-    but withOUT the per-lane ``within`` gathers — callers recover per-slot
-    fields through one fused info-row gather instead)."""
+def _owner_of_lanes(n_units: jnp.ndarray, budget: int):
+    """Map ``budget`` flat lanes to their owning slots.
+
+    Given per-slot unit counts, returns the 3-tuple ``(owner, starts,
+    total)``: ``owner[(budget,)]`` — which slot owns each lane (segment
+    starts scattered + running max; :func:`map_lanes` semantics but
+    withOUT the per-lane ``within`` gathers — callers recover per-slot
+    fields through one fused info-row gather indexed by ``owner``
+    instead); ``starts[(K,)]`` — each slot's first lane (exclusive prefix
+    sum of ``n_units``); ``total`` () — total units requested (lanes
+    beyond it are invalid; ``total > budget`` means overflow)."""
     K = n_units.shape[0]
     csum = jnp.cumsum(n_units)
     starts = csum - n_units
@@ -243,8 +270,15 @@ def expand_emitting(
     pg: PackedGraph,
     cfg: FrontierConfig,
 ) -> Candidates:
-    K, W = cfg.frontier_size, cfg.block_width
+    K, W = cfg.expand_lanes, cfg.block_width
     R = cfg.rem_budget
+    if K < cfg.frontier_size:
+        # Cost-sorted frontier + GetCutoff's <=max_active guarantee:
+        # lanes beyond the prefix are never active (see
+        # FrontierConfig.expand_lanes) — slot ids stay valid because the
+        # prefix preserves slot numbering.
+        st = StepState(st.states[:K], st.costs[:K], st.base)
+        active = active[:K]
     safe = jnp.where(active, st.states, 0)
 
     # Block lanes: ONE row gather of (K, W*5+2) -> every field of the first

@@ -564,6 +564,17 @@ class BatchedLatticeDecoder:
                         em_records=None, eps_records=None,
                         frontier_states=None, frontier_costs=None,
                     )
+                else:
+                    # Full-record mode: fetch each chunk to host as it is
+                    # produced so peak HBM stays one chunk's buffers, not
+                    # T-proportional (this mode is also the sweep-overflow
+                    # fallback, i.e. exactly the workloads most likely to
+                    # OOM).  The fetch is synchronous; async dispatch is
+                    # kept only for the swept path, whose big buffers are
+                    # dropped on device.
+                    o = jax.tree.map(
+                        lambda x: np.asarray(x) if x is not None else None, o
+                    )
                 rem = jnp.maximum(rem - C, 0)
                 chunks.append((lo, o, sw))
         return PendingDecode(
@@ -589,17 +600,47 @@ class BatchedLatticeDecoder:
             survivors = None
             if device_prune:
                 survivors = []
+                # The survivor buffers are sized for the worst case
+                # (~16x typical density, decoders/sweep.py sweep_config);
+                # the sweep compacts valid rows to the front, so download
+                # only a bucket-sized slice covering the batch-max count
+                # (pow2 buckets bound the compiled slice variants).  The
+                # count fetch blocks on each chunk's own sweep while later
+                # chunks (and any already-dispatched next batch) keep the
+                # device busy; the sliced buffers are then fetched with
+                # copy_to_host_async so the transfers overlap too.
+                def _bucket(maxc: int, cap: int) -> int:
+                    n = 64
+                    while n < maxc:
+                        n *= 2
+                    return min(n, cap)
+
+                sliced = []
                 for lo, o, sw in chunks:
+                    tc, ec, zc, ovf = jax.tree.map(
+                        np.asarray,
+                        (sw.tok_count, sw.em_count, sw.eps_count, sw.overflow),
+                    )
+                    tr = sw.tok_rows[:, : _bucket(int(tc.max()), sw.tok_rows.shape[1])]
+                    er = sw.em_rows[:, : _bucket(int(ec.max()), sw.em_rows.shape[1])]
+                    zr = sw.eps_rows[:, : _bucket(int(zc.max()), sw.eps_rows.shape[1])]
+                    for a in (tr, er, zr):
+                        try:
+                            a.copy_to_host_async()
+                        except Exception:  # pragma: no cover - backend-dependent
+                            pass
+                    sliced.append((lo, tc, ec, zc, ovf, tr, er, zr))
+                for lo, tc, ec, zc, ovf, tr, er, zr in sliced:
                     survivors.append(
                         {
                             "frame0": lo,
-                            "tok_rows": np.asarray(sw.tok_rows),
-                            "tok_count": np.asarray(sw.tok_count),
-                            "em_rows": np.asarray(sw.em_rows),
-                            "em_count": np.asarray(sw.em_count),
-                            "eps_rows": np.asarray(sw.eps_rows),
-                            "eps_count": np.asarray(sw.eps_count),
-                            "overflow": np.asarray(sw.overflow),
+                            "tok_rows": np.asarray(tr),
+                            "tok_count": tc,
+                            "em_rows": np.asarray(er),
+                            "em_count": ec,
+                            "eps_rows": np.asarray(zr),
+                            "eps_count": zc,
+                            "overflow": ovf,
                         }
                     )
                 if any(c["overflow"].any() for c in survivors):

@@ -20,12 +20,17 @@ host's final exact sweep (float64) reproduces the reference's
 
 Conservativeness invariants (nothing the exact sweep keeps is dropped):
 
-* extras are computed as monotone-from-below Bellman iterations starting
-  at 0, so with any finite iteration count the estimate is a LOWER bound
-  of the true extra cost — pruning at ``extra > lattice_beam + margin``
-  keeps a superset;
-* all float32 comparisons carry a +1e-3 margin vs the host's float64;
-* chunk boundaries and utterance-final frames use extra = 0.
+* chunk boundaries and utterance-final frames use extra = 0 — a LOWER
+  bound on any token's true extra cost, so the window-boundary argument
+  is conservative by construction;
+* the intra-frame eps Bellman converges to its fixed point FROM ABOVE
+  (each pass only lowers the min), so an under-iterated estimate would
+  OVER-prune — the iteration therefore runs to quiescence with an
+  early-out (bounded by the acyclic eps depth, or by the live-state
+  count for cyclic-eps graphs) and any frame still improving at the
+  bound raises the sweep overflow flag, which makes ``_finish`` fall
+  back to the exact full-download host prune;
+* all float32 comparisons carry a +1e-3 margin vs the host's float64.
 
 Record rows are ``[src_state, arc_id, dst_state, slack_bits]`` (see
 ``lattice_dev.REC_COLS``); slack is the link's
@@ -54,6 +59,7 @@ class SweepConfig:
     em_records: int  # R per frame
     eps_records: int  # Re per frame per iteration
     eps_iters: int  # D
+    eps_exact: bool  # D is the graph's exact acyclic eps depth
     chunk_frames: int  # T
     lattice_beam: float
     tok_cap: int  # token buffer rows per utterance (excl. final K block)
@@ -78,6 +84,7 @@ def sweep_config(cfg, chunk_frames: int) -> SweepConfig:
         em_records=cfg.em_records,
         eps_records=cfg.eps_records,
         eps_iters=fc.eps_iters,
+        eps_exact=fc.eps_exact,
         chunk_frames=T,
         lattice_beam=float(cfg.lattice_beam),
         tok_cap=fc.frontier_size + 192 * T,
@@ -164,34 +171,56 @@ def _sweep_one(
         # Boundary: the chunk's last frame and utterance-final frames get
         # extra 0 (IncrementalLattice live-frontier semantics).
         at_boundary = f >= boundary
+        emit = f <= boundary  # frames past the boundary are frozen
         extra = jnp.where(
             at_boundary, jnp.where(live, 0.0, INF), extra_next
         )
 
-        # Epsilon refinement within frame f (Bellman from below: starting
-        # at the em-base/boundary values, extras only grow toward the
-        # fixed point, so any pass count yields a lower bound =>
-        # conservative pruning; exact once converged).  eps_t: (D, Re, 4).
+        # Epsilon refinement within frame f.  The Bellman iteration
+        # converges to its fixed point FROM ABOVE (each pass only lowers
+        # the min), so stopping early would leave extras too HIGH and
+        # OVER-prune.  Iterate to quiescence with an early-out; the pass
+        # bound is D+2 when the recorded eps subgraph is provably acyclic
+        # with depth D (a recorded chain is <= D links), else the
+        # live-state bound K (non-negative slacks converge in <= #states
+        # passes; a negative-slack cycle — possible only when the forward
+        # closure itself under-relaxed — never converges and is caught by
+        # the bound).  A frame still improving at the bound raises the
+        # sweep overflow flag -> exact host fallback.  eps_t: (D, Re, 4).
         D = sc.eps_iters
         eps_flat_keep = None
+        eps_nonconv = jnp.bool_(False)
         if D:
             flat = eps_t.reshape(-1, 4)
             evalid = flat[:, 1] >= 0
             eslack = jax.lax.bitcast_convert_type(flat[:, 3], jnp.float32)
 
-            def bell(_, ex):
+            def bell(ex):
                 ex_dst = _join_min(flat[:, 2], states_t1, ex)
                 le = jnp.where(evalid, ex_dst + eslack, INF)
                 upd = _join_min(states_t1, flat[:, 0], jnp.maximum(le, 0.0))
                 return jnp.minimum(ex, upd)
 
-            extra = jax.lax.fori_loop(0, D + 2, bell, extra)
+            bound = D + 2 if sc.eps_exact else min(K, flat.shape[0]) + 2
+
+            def bell_cond(c):
+                it, _, changed = c
+                return changed & (it < bound)
+
+            def bell_body(c):
+                it, ex, _ = c
+                ex2 = bell(ex)
+                return it + 1, ex2, jnp.any(ex2 < ex)
+
+            _, extra, still_changing = jax.lax.while_loop(
+                bell_cond, bell_body, (jnp.int32(0), extra, jnp.bool_(True))
+            )
+            eps_nonconv = still_changing & emit
             ex_dst = _join_min(flat[:, 2], states_t1, extra)
             le_eps = jnp.where(evalid, ex_dst + eslack, INF)
             eps_flat_keep = le_eps <= beam + MARGIN
 
         # Emit frame-f tokens (skip frozen frames past the boundary).
-        emit = f <= boundary
         tok_keep = emit & live & (extra <= beam + 2 * MARGIN)
         tok_rows, tok_n = _compact_rows(
             tok_keep,
@@ -237,7 +266,7 @@ def _sweep_one(
         )
         new_carry = (
             base_prev, tok_off, em_off, eps_off, tok_buf, em_buf, eps_buf,
-            ovf | o1 | o2 | o3,
+            ovf | o1 | o2 | o3 | eps_nonconv,
         )
         return new_carry, None
 

@@ -39,6 +39,7 @@ _i64 = ctypes.c_int64
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 
 
 def _build() -> bool:
@@ -103,6 +104,10 @@ def _declare(lib: ctypes.CDLL) -> None:
         _i64, _i32p, _i32p, _f32p, _i32p, _i32p, _i32p, _f32p, _f32p,
         _i64, _i64, _i64, _f32p, ctypes.c_float, _i64, _i64,
         ctypes.c_float, ctypes.c_float, _i64, _i64p,
+    ]
+    lib.kd_get_cutoff.restype = None
+    lib.kd_get_cutoff.argtypes = [
+        _f32p, _i64, ctypes.c_float, _i64, _i64, ctypes.c_float, _f64p,
     ]
 
 
@@ -383,6 +388,29 @@ def decode_lattice(
     )
     keys = ("frames", "tokens", "links", "tokens_live", "links_live")
     return float(best), dict(zip(keys, (int(x) for x in stats)))
+
+
+def get_cutoff(
+    costs: np.ndarray,
+    beam: float,
+    max_active: int,
+    min_active: int,
+    beam_delta: float,
+):
+    """C++ GetCutoff with exact reference semantics
+    (faster-decoder.cc:244-336) over a vector of finite token costs.
+    Returns (cutoff, adaptive_beam); used by tests to pin the native
+    decision table against ops/cutoff.py."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    costs = np.ascontiguousarray(costs, np.float32)
+    out = np.zeros(2, np.float64)
+    lib.kd_get_cutoff(
+        costs, len(costs), float(beam), int(max_active), int(min_active),
+        float(beam_delta), out,
+    )
+    return float(out[0]), float(out[1])
 
 
 def shortest_path_arrays(

@@ -648,6 +648,51 @@ int64_t kd_shortest_path(int64_t S, int64_t A, const int32_t* src,
   return n;
 }
 
+// Standalone GetCutoff with exact reference semantics
+// (faster-decoder.cc:244-336), exported so tests can pin the C++ decision
+// table against the device implementation (ops/cutoff.py) on random
+// frontiers.  costs: n finite token costs; out[0] = cutoff,
+// out[1] = adaptive_beam.
+void kd_get_cutoff(const float* costs, int64_t n, float beam,
+                   int64_t max_active, int64_t min_active, float beam_delta,
+                   double* out) {
+  const double inf = std::numeric_limits<double>::infinity();
+  double best = inf;
+  std::vector<float> tmp(costs, costs + n);
+  for (int64_t i = 0; i < n; ++i)
+    best = std::min(best, static_cast<double>(costs[i]));
+  double beam_cutoff = best + static_cast<double>(beam);
+  double max_active_cutoff = inf;
+  if (static_cast<int64_t>(tmp.size()) > max_active) {
+    std::nth_element(tmp.begin(), tmp.begin() + max_active, tmp.end());
+    max_active_cutoff = static_cast<double>(tmp[static_cast<size_t>(max_active)]);
+  }
+  if (max_active_cutoff < beam_cutoff) {
+    out[0] = max_active_cutoff;
+    out[1] = max_active_cutoff - best + static_cast<double>(beam_delta);
+    return;
+  }
+  double min_active_cutoff = inf;
+  if (static_cast<int64_t>(tmp.size()) > min_active) {
+    if (min_active == 0) {
+      min_active_cutoff = best;
+    } else {
+      std::nth_element(tmp.begin(), tmp.begin() + min_active,
+                       static_cast<int64_t>(tmp.size()) > max_active
+                           ? tmp.begin() + max_active
+                           : tmp.end());
+      min_active_cutoff = static_cast<double>(tmp[static_cast<size_t>(min_active)]);
+    }
+  }
+  if (min_active_cutoff > beam_cutoff) {
+    out[0] = min_active_cutoff;
+    out[1] = min_active_cutoff - best + static_cast<double>(beam_delta);
+    return;
+  }
+  out[0] = beam_cutoff;
+  out[1] = beam;
+}
+
 // -- Single-threaded reference-algorithmics decoder ---------------------------
 // The honest native CPU baseline (BASELINE.md): the reference FasterDecoder's
 // per-frame algorithmics — GetCutoff with nth_element beam/max-active cutoffs
@@ -754,11 +799,13 @@ double kd_decode_faster(
     }
     double min_active_cutoff = -inf;
     if (static_cast<int64_t>(tmp.size()) > min_active && min_active > 0) {
-      std::nth_element(tmp.begin(), tmp.begin() + (min_active - 1),
+      // Reference takes tmp_array_[config_.min_active], the
+      // (min_active+1)-th smallest (faster-decoder.cc:315-321).
+      std::nth_element(tmp.begin(), tmp.begin() + min_active,
                        max_active_cutoff == inf
                            ? tmp.end()
                            : tmp.begin() + max_active);
-      min_active_cutoff = static_cast<double>(tmp[static_cast<size_t>(min_active - 1)]);
+      min_active_cutoff = static_cast<double>(tmp[static_cast<size_t>(min_active)]);
     }
     if (min_active_cutoff > beam_cutoff) {
       *adaptive_beam = min_active_cutoff - best + static_cast<double>(beam_delta);

@@ -17,9 +17,14 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-B, V = 8, 500
-K = 4096
-R = 8192
+import os
+
+B = int(os.environ.get("AB_B", "8"))
+V = 500
+K = int(os.environ.get("AB_K", "4096"))
+R = int(os.environ.get("AB_R", "8192"))
+REM = int(os.environ.get("AB_REM", "32768"))
+MA = int(os.environ.get("AB_MA", "4000"))
 REPS = 12
 
 
@@ -36,7 +41,9 @@ def bench(name, fn, *arrays, reps=3):
             out = fn(*acc)
             d = jax.tree.leaves(out)[0].ravel()[0].astype(jnp.int32)
             acc = tuple(
-                x ^ (d & 1) if x.dtype == jnp.int32 else x for x in acc
+                x ^ (d & 1) if x.dtype == jnp.int32
+                else x + (d & 1).astype(x.dtype) * 1e-7
+                for x in acc
             )
         return jax.tree.leaves(out)[0]
 
@@ -66,8 +73,8 @@ def main():
     fold = _maybe_fold(g, True)
     dg = fold.device if fold is not None else g
     fc = config_for_graph(
-        dg, beam=15.0, max_active=4000, min_active=200, frontier_size=K,
-        rem_budget=32768, eps_rem_budget=2048, block_width=3, flat_group=4,
+        dg, beam=15.0, max_active=MA, min_active=200, frontier_size=K,
+        rem_budget=REM, eps_rem_budget=2048, block_width=3, flat_group=4,
     )
     pg = pack_graph_device(dg, fc.block_width, fc.eps_block_width, fc.flat_group)
     S = dg.num_states
@@ -102,6 +109,31 @@ def main():
         return jax.vmap(one)(s, c, sc)
     bench("expand_emitting (incl. score matmul)", expand_only, states, costs, scores_t)
 
+    import dataclasses as _dc
+    fc_nosc = _dc.replace(fc, score_onehot=False)
+
+    def expand_gather_score(s, c, sc):
+        def one(sv, cv, scv):
+            st = StepState(sv, cv, jnp.float32(0))
+            active = jnp.isfinite(cv)
+            cand = expand_emitting(st, active, scv, pg, fc_nosc)
+            return cand.cost.sum() + cand.dst.sum()
+        return jax.vmap(one)(s, c, sc)
+    bench("expand_emitting (plain-gather score lookup)",
+          expand_gather_score, states, costs, scores_t)
+
+    fc_norem = _dc.replace(fc, rem_budget=8)
+
+    def expand_norem(s, c, sc):
+        def one(sv, cv, scv):
+            st = StepState(sv, cv, jnp.float32(0))
+            active = jnp.isfinite(cv)
+            cand = expand_emitting(st, active, scv, pg, fc_norem)
+            return cand.cost.sum() + cand.dst.sum()
+        return jax.vmap(one)(s, c, sc)
+    bench("expand_emitting (rem_budget=8: block+score only)",
+          expand_norem, states, costs, scores_t)
+
     def expand_dedup(s, c, sc):
         def one(sv, cv, scv):
             st = StepState(sv, cv, jnp.float32(0))
@@ -123,9 +155,12 @@ def main():
         return jax.vmap(one)(s, c, sc)
     bench("full lattice_emit_stage", full_stage, states, costs, scores_t)
 
+    bench("NULL op (chain floor; subtract from rows above)",
+          lambda c: jax.vmap(lambda cv: cv[0] + 0.0)(c), costs)
+
     def cutoff_only(c):
         return jax.vmap(
-            lambda cv: get_cutoff(cv, 15.0, 4000, 200, 0.5, costs_sorted=True).cutoff
+            lambda cv: get_cutoff(cv, 15.0, MA, 200, 0.5, costs_sorted=True).cutoff
         )(c)
     bench("get_cutoff", cutoff_only, costs)
 

@@ -180,3 +180,39 @@ def test_backtrace_matches_python():
             assert lat_native is None
         else:
             assert lat_native == lat_py
+
+
+def test_get_cutoff_pins_cpp():
+    """C++ GetCutoff (kd_get_cutoff) == device decision table
+    (ops/cutoff.py) on random frontiers — exact reference semantics on
+    both sides (faster-decoder.cc:244-336), including the
+    (min_active+1)-th order statistic (`faster-decoder.cc:315-321`)."""
+    import jax.numpy as jnp
+
+    from kaldi_decoder_tpu.ops.cutoff import get_cutoff
+
+    rng = np.random.default_rng(11)
+    for _ in range(60):
+        K = int(rng.choice([64, 256]))
+        n = int(rng.integers(1, K + 1))
+        costs = rng.uniform(0.0, 30.0, n).astype(np.float32)
+        beam = float(rng.uniform(0.5, 20.0))
+        max_active = int(
+            rng.choice([2, max(2, n // 3), max(2, n - 1), n + 4, 2**31 - 1])
+        )
+        min_active = int(rng.integers(0, min(max_active, n + 2)))
+        beam_delta = float(rng.uniform(0.1, 1.0))
+
+        c_cut, c_ab = native.get_cutoff(
+            costs, beam, max_active, min_active, beam_delta
+        )
+        padded = np.full(K, np.inf, np.float32)
+        padded[:n] = costs
+        d = get_cutoff(
+            jnp.asarray(padded), beam, max_active, min_active, beam_delta
+        )
+        assert float(d.cutoff) == pytest.approx(c_cut, rel=1e-5, abs=1e-4)
+        assert float(d.adaptive_beam) == pytest.approx(
+            c_ab, rel=1e-5, abs=1e-4
+        )
+        assert int(d.count) == n
