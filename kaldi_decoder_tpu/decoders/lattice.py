@@ -361,6 +361,47 @@ class LatticeResult:
         sp = shortest_path(lat)
         return sp if sp.num_states > 0 else None
 
+    def best_path_labels(
+        self, b: int = 0, use_final_probs: bool = True, side: str = "olabel"
+    ) -> Optional[list]:
+        """1-best label sequence straight from the pruned array lattice.
+
+        The production serving path: ShortestPath runs on the flat arc
+        arrays (`lattice-simple-decoder.cc:574-580` semantics incl. the
+        LatticeWeight natural-order tie-break), skipping the Python FST
+        object entirely — identical labels to
+        ``path_labels(self.best_path(b))`` at a fraction of the host
+        cost.  Falls back to that exact path when the native library is
+        unavailable.  Returns None when decoding failed (no lattice)."""
+        from kaldi_decoder_tpu import native
+        from kaldi_decoder_tpu.fst.ops import path_labels
+
+        if not native.available():
+            p = self.best_path(b, use_final_probs)
+            return None if p is None else path_labels(p, side=side)
+        pl = self._prune(b, use_final_probs)
+        if pl is None:
+            return None
+        from kaldi_decoder_tpu.lattice.prune import flat_arc_arrays
+
+        flat = flat_arc_arrays(pl, use_final_probs)
+        if flat is None:
+            return None
+        n, src, dst, il, ol, wg, wa, final_graph, start = flat
+        path = native.shortest_path_arrays(
+            n, src, wg + wa, dst,
+            final_graph,  # acoustic final component is 0
+            start,
+            w_graph=wg,
+            final_graph=np.where(
+                np.isfinite(final_graph), final_graph, 0.0
+            ).astype(np.float32),
+        )
+        if path is None:
+            return None
+        labels = (il if side == "ilabel" else ol)[path]
+        return [int(x) for x in labels[labels != 0]]
+
     def reached_final(self, b: int = 0) -> bool:
         pl = self._prune(b)
         return pl is not None and np.isfinite(pl.final_relative_cost)
@@ -428,8 +469,23 @@ class BatchedLatticeDecoder:
             dev_graph, fc2.block_width, fc2.eps_block_width, fc2.flat_group
         )
         self._chunk_fn = build_lattice_chunk_fn(dev_graph, self.cfg, mesh, data_axis)
+        self._init_cache: dict = {}
 
     def _init(self, batch: int):
+        # Memoized: the start closure depends only on (graph, config,
+        # batch).  Recomputing per decode would not just waste work — its
+        # np.asarray fetches would BLOCK until every previously-dispatched
+        # batch drains the device queue, serializing the decode_async
+        # pipeline (the host must touch nothing queue-ordered at dispatch
+        # time).
+        cached = self._init_cache.get(batch)
+        if cached is not None:
+            return cached
+        out = self._init_uncached(batch)
+        self._init_cache[batch] = out
+        return out
+
+    def _init_uncached(self, batch: int):
         if self.fold is not None:
             from kaldi_decoder_tpu.decoders.viterbi import _folded_init
 
@@ -552,6 +608,7 @@ class BatchedLatticeDecoder:
                     rem, stc,
                 )
                 sw = None
+                dl = None
                 if device_prune:
                     sw = sweep_fn(
                         o.frontier_states, o.frontier_costs,
@@ -564,6 +621,25 @@ class BatchedLatticeDecoder:
                         em_records=None, eps_records=None,
                         frontier_states=None, frontier_costs=None,
                     )
+                    # Dispatch-time download slices at static caps: the
+                    # slice ops execute at THIS batch's position in the
+                    # device queue (slicing at result() time would
+                    # enqueue them behind any already-dispatched next
+                    # batch, serializing the pipeline) and the D2H
+                    # copies stream under the next batch's compute via
+                    # copy_to_host_async.  _finish falls back to the
+                    # retained full buffers if a count exceeds its cap.
+                    ct, ce, cz = self._dl_caps(C)
+                    dl = (
+                        sw.tok_rows[:, :ct],
+                        sw.em_rows[:, :ce],
+                        sw.eps_rows[:, :cz],
+                    )
+                    for a in dl:
+                        try:
+                            a.copy_to_host_async()
+                        except Exception:  # pragma: no cover
+                            pass
                 else:
                     # Full-record mode: fetch each chunk to host as it is
                     # produced so peak HBM stays one chunk's buffers, not
@@ -576,7 +652,7 @@ class BatchedLatticeDecoder:
                         lambda x: np.asarray(x) if x is not None else None, o
                     )
                 rem = jnp.maximum(rem - C, 0)
-                chunks.append((lo, o, sw))
+                chunks.append((lo, o, sw, dl))
         return PendingDecode(
             decoder=self,
             scores=scores,
@@ -590,6 +666,50 @@ class BatchedLatticeDecoder:
             timer=timer,
         )
 
+    def _dl_caps(self, chunk_frames: int) -> Tuple[int, int, int]:
+        """Static survivor-download caps (rows per buffer).
+
+        Sized from measured windowed-sweep survivor densities at bench
+        scale (~100 tokens / ~180 em links per frame on the worst
+        utterance, vs the in-buffer caps' ~192/~320 worst-case
+        allowance): large enough that the fallback full-buffer download
+        in ``_finish`` is rare, small enough to cut the per-batch D2H
+        bytes roughly in half."""
+        C = chunk_frames
+        fc = self.cfg.frontier
+        K, R = fc.frontier_size, self.cfg.em_records
+        tok = min(_round_up(K + 120 * C, 1024), K + 192 * C + K)
+        em = min(_round_up(R + 208 * C, 1024), R + 320 * C + R)
+        eps = (
+            min(_round_up(24 * C, 512), max(64 * C, 8) + max(fc.eps_iters, 1) * self.cfg.eps_records)
+            if fc.eps_iters
+            else 8
+        )
+        return tok, em, eps
+
+    @staticmethod
+    def _wait_ready(*arrays, poll_s: float = 0.02) -> None:
+        """Poll until every device array is materialized before fetching.
+
+        Awaiting a PENDING buffer (np.asarray on it) can synchronize on
+        the entire device queue — including later-dispatched batches —
+        serializing the decode_async pipeline (measured on the single-
+        chip relay: a fetch of batch i's survivors issued after batch
+        i+1's dispatch blocked until i+1 finished).  ``is_ready`` is
+        per-buffer, so polling first keeps every fetch on the
+        materialized-buffer fast path."""
+        import time as _time
+
+        for a in arrays:
+            checker = getattr(a, "is_ready", None)
+            if checker is None:
+                continue
+            try:
+                while not checker():
+                    _time.sleep(poll_s)
+            except Exception:  # pragma: no cover - backend-dependent
+                return
+
     def _finish(self, pending: "PendingDecode") -> LatticeResult:
         chunks = pending.chunks
         device_prune = pending.device_prune
@@ -600,37 +720,25 @@ class BatchedLatticeDecoder:
             survivors = None
             if device_prune:
                 survivors = []
-                # The survivor buffers are sized for the worst case
-                # (~16x typical density, decoders/sweep.py sweep_config);
-                # the sweep compacts valid rows to the front, so download
-                # only a bucket-sized slice covering the batch-max count
-                # (pow2 buckets bound the compiled slice variants).  The
-                # count fetch blocks on each chunk's own sweep while later
-                # chunks (and any already-dispatched next batch) keep the
-                # device busy; the sliced buffers are then fetched with
-                # copy_to_host_async so the transfers overlap too.
-                def _bucket(maxc: int, cap: int) -> int:
-                    n = 64
-                    while n < maxc:
-                        n *= 2
-                    return min(n, cap)
-
-                sliced = []
-                for lo, o, sw in chunks:
+                # The pre-sliced download buffers were dispatched (and
+                # their D2H copies started) inside decode_async, so they
+                # stream under any later-dispatched device work; here we
+                # only check the counts fit the static caps and fall back
+                # to the retained full buffer when one does not (rare —
+                # caps cover measured worst-case survivor density).
+                for lo, o, sw, dl in chunks:
+                    self._wait_ready(sw.tok_count, *dl)
                     tc, ec, zc, ovf = jax.tree.map(
                         np.asarray,
                         (sw.tok_count, sw.em_count, sw.eps_count, sw.overflow),
                     )
-                    tr = sw.tok_rows[:, : _bucket(int(tc.max()), sw.tok_rows.shape[1])]
-                    er = sw.em_rows[:, : _bucket(int(ec.max()), sw.em_rows.shape[1])]
-                    zr = sw.eps_rows[:, : _bucket(int(zc.max()), sw.eps_rows.shape[1])]
-                    for a in (tr, er, zr):
-                        try:
-                            a.copy_to_host_async()
-                        except Exception:  # pragma: no cover - backend-dependent
-                            pass
-                    sliced.append((lo, tc, ec, zc, ovf, tr, er, zr))
-                for lo, tc, ec, zc, ovf, tr, er, zr in sliced:
+                    tr, er, zr = dl
+                    if int(tc.max()) > tr.shape[1]:
+                        tr = sw.tok_rows
+                    if int(ec.max()) > er.shape[1]:
+                        er = sw.em_rows
+                    if int(zc.max()) > zr.shape[1]:
+                        zr = sw.eps_rows
                     survivors.append(
                         {
                             "frame0": lo,
@@ -665,7 +773,7 @@ class BatchedLatticeDecoder:
                         np.asarray,
                         (o.num_active, o.cutoff, o.overflow, o.saturated),
                     )
-                    for _, o, _ in chunks
+                    for _, o, _, _ in chunks
                 ]
                 num_active, cutoffs, overflows, saturations = (
                     np.concatenate([s[i] for s in stats], axis=0)
@@ -677,7 +785,7 @@ class BatchedLatticeDecoder:
                     lambda *xs: np.concatenate(
                         [np.asarray(x) for x in xs], axis=0
                     ),
-                    *[o for _, o, _ in chunks],
+                    *[o for _, o, _, _ in chunks],
                 )
                 frame_states = outs.frontier_states
                 frame_costs = outs.frontier_costs

@@ -394,6 +394,69 @@ def raw_lattice_to_fst(
     return lat
 
 
+def flat_arc_arrays(pl: PrunedLattice, use_final_probs: bool = True):
+    """PrunedLattice -> flat CSR-free arc arrays (vectorized, no Python
+    FST object): the production serving path feeds these straight into
+    ``native.shortest_path_arrays`` for 1-best extraction, skipping the
+    per-arc ``add_arc`` loop of :func:`raw_lattice_to_fst` (same
+    semantics: `lattice-simple-decoder.cc:574-657` state/arc mapping,
+    `:574-580` ShortestPath).
+
+    Returns (num_states, src, dst, ilabel, olabel, w_graph, w_ac,
+    final_graph (S,), start) or None if the lattice is empty."""
+    offsets = []
+    n = 0
+    for f in range(pl.num_frames + 1):
+        offsets.append(n)
+        n += len(pl.tokens[f].states)
+    if n == 0:
+        return None
+
+    srcs, dsts, ils, ols, wgs, was = [], [], [], [], [], []
+
+    def take(lk: FrameLinks, src_off: int, dst_off: int):
+        k = lk.keep
+        if not np.any(k):
+            return
+        srcs.append(lk.src[k] + src_off)
+        dsts.append(lk.dst[k] + dst_off)
+        ils.append(lk.ilabel[k])
+        ols.append(lk.olabel[k])
+        wgs.append(lk.graph_cost[k])
+        was.append(lk.ac_cost[k])
+
+    for f in range(pl.num_frames + 1):
+        take(pl.eps_links[f], offsets[f], offsets[f])
+        if f < pl.num_frames:
+            take(pl.em_links[f], offsets[f], offsets[f + 1])
+
+    cat = lambda xs, dt: (
+        np.concatenate(xs).astype(dt) if xs else np.zeros(0, dt)
+    )
+    src = cat(srcs, np.int32)
+    dst = cat(dsts, np.int32)
+    il = cat(ils, np.int32)
+    ol = cat(ols, np.int32)
+    wg = cat(wgs, np.float32)
+    wa = cat(was, np.float32)
+
+    last_off = offsets[pl.num_frames]
+    nlast = len(pl.tokens[pl.num_frames].states)
+    final_graph = np.full(n, np.inf, np.float32)
+    if use_final_probs and pl.final_costs:
+        for i, c in pl.final_costs.items():
+            final_graph[last_off + int(i)] = np.float32(c)
+    else:
+        final_graph[last_off : last_off + nlast] = 0.0
+
+    start_tok = pl.tokens[0].index_of(
+        np.array([pl.start_state], dtype=np.int64)
+    )[0]
+    if start_tok < 0:
+        return None
+    return n, src, dst, il, ol, wg, wa, final_graph, int(start_tok)
+
+
 def _links_compact(lk: FrameLinks, keep: np.ndarray) -> FrameLinks:
     return FrameLinks(
         src=lk.src[keep],

@@ -216,3 +216,24 @@ def test_get_cutoff_pins_cpp():
             c_ab, rel=1e-5, abs=1e-4
         )
         assert int(d.count) == n
+
+
+def test_best_path_labels_matches_fst_path():
+    """The array fast path (flat_arc_arrays + native ShortestPath) yields
+    the same 1-best labels as ShortestPath(GetRawLattice) through the
+    Python FST object (`lattice-simple-decoder.cc:574-580`)."""
+    from kaldi_decoder_tpu.decoders.lattice import BatchedLatticeDecoder
+
+    rng = np.random.default_rng(3)
+    fst = random_fst(num_states=80, num_symbols=12, rng=rng, eps_prob=0.2)
+    graph = compile_fst(fst)
+    dec = BatchedLatticeDecoder(graph, lattice_beam=6.0, pad_time_to=8)
+    scores = np.log(
+        rng.dirichlet(np.ones(12), size=(3, 21)).astype(np.float32)
+    ).astype(np.float32)
+    res = dec.decode(scores)
+    for b in range(3):
+        p = res.best_path(b)
+        want = path_labels(p) if p is not None else None
+        got = res.best_path_labels(b)
+        assert got == want, (b, got, want)
