@@ -50,7 +50,12 @@ SEED = 0
 V = 500
 B = int(os.environ.get("KDTPU_BENCH_B", "16"))
 T = int(os.environ.get("KDTPU_BENCH_T", "1000"))
-CHUNK_FRAMES = int(os.environ.get("KDTPU_BENCH_CHUNK", "200"))
+#  500-frame chunks (r5): the windowed sweep keeps ~a frontier's worth of
+#  conservatively-alive rows per chunk BOUNDARY, and every D2H fetch
+#  round-trip has fixed relay cost — halving the chunk count cut the
+#  per-batch survivor download ~35% and the fetch rounds 2.5x at
+#  identical output (chunk boundaries are lattice-exact, tests/test_sweep.py).
+CHUNK_FRAMES = int(os.environ.get("KDTPU_BENCH_CHUNK", "500"))
 FRAME_SECONDS = 0.04  # conformer subsampling-4 frame rate
 BEAM = float(os.environ.get("KDTPU_BENCH_BEAM", "15"))
 # Round-4 defaults are the *recall-qualified operating point*: measured
@@ -65,7 +70,11 @@ EM_RECORDS = int(os.environ.get("KDTPU_BENCH_EM_RECORDS", "8192"))
 REM_BUDGET = int(os.environ.get("KDTPU_BENCH_REM", "49152"))
 EPS_REM_BUDGET = int(os.environ.get("KDTPU_BENCH_EPS_REM", "2048"))
 FRONTIER = int(os.environ.get("KDTPU_BENCH_FRONTIER", "4096"))
-FLAT_GROUP = int(os.environ.get("KDTPU_BENCH_FLAT_GROUP", "4"))
+#  Remainder packing G: r5 ablation (scripts/ablate_frame.py) measured
+#  the remainder path at ~3.1 ms of the ~11 ms frame at G=4; G=8 halves
+#  its row-gather count (2.48 -> 2.22 s per 200-frame chunk, identical
+#  results — lane count and semantics are G-independent).
+FLAT_GROUP = int(os.environ.get("KDTPU_BENCH_FLAT_GROUP", "8"))
 BLOCK_W = os.environ.get("KDTPU_BENCH_W")  # block width override
 GRAPH_KIND = os.environ.get("KDTPU_BENCH_GRAPH", "hlg")
 CACHE_DIR = REPO / ".bench_cache"
@@ -268,20 +277,33 @@ def e2e_with_lattices(graph, dec, scores, lengths, refs):
     # (forward + sweep); the fill batch is one-time, so the product
     # number is the marginal rate between two depths.
     def run_pipe(n_pipe):
+        # Group-of-2 schedule matched to the relay's observation
+        # semantics (a buffer's readiness is only reported at full-queue
+        # drains): at each drain BOTH in-flight batches are fetched (the
+        # second costs only its residual transfer), two more are
+        # dispatched, and both finalizes run under the new compute.
+        # Steady state is device-bound: one drain period per two batches.
         t0 = time.time()
-        pend = {0: dec.decode_async(scores, lengths, chunk_frames=CHUNK_FRAMES)}
-        if n_pipe > 1:
-            pend[1] = dec.decode_async(
-                scores, lengths, chunk_frames=CHUNK_FRAMES
-            )
-        hyps = None
-        for i in range(n_pipe):
-            r = pend.pop(i).result()
-            if i + 2 < n_pipe:
-                pend[i + 2] = dec.decode_async(
+        pend = {}
+        state = {"next": 0}
+
+        def dispatch_upto(k):
+            while state["next"] < min(k, n_pipe):
+                pend[state["next"]] = dec.decode_async(
                     scores, lengths, chunk_frames=CHUNK_FRAMES
                 )
-            hyps = finalize(r)
+                state["next"] += 1
+
+        dispatch_upto(2)
+        hyps = None
+        done = 0
+        while done < n_pipe:
+            group = sorted(pend)[:2]
+            rs = [pend.pop(j).result() for j in group]
+            dispatch_upto(state["next"] + len(group))
+            for r in rs:
+                hyps = finalize(r)
+            done += len(group)
         return time.time() - t0, hyps
 
     walls = {}

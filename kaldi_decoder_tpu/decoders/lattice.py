@@ -670,16 +670,18 @@ class BatchedLatticeDecoder:
         """Static survivor-download caps (rows per buffer).
 
         Sized from measured windowed-sweep survivor densities at bench
-        scale (~100 tokens / ~180 em links per frame on the worst
-        utterance, vs the in-buffer caps' ~192/~320 worst-case
-        allowance): large enough that the fallback full-buffer download
-        in ``_finish`` is rare, small enough to cut the per-batch D2H
-        bytes roughly in half."""
+        scale: rows(C) fits a fixed boundary/utterance-end block plus a
+        steady per-frame rate (tok ~18/frame + ~15k block, em ~27/frame
+        + ~31k block at B=16), with ~1.2-1.45x margin.  Large enough
+        that the fallback full-buffer download in ``_finish`` is rare,
+        small enough that the per-batch D2H bytes track the real
+        survivor volume instead of the in-buffer worst-case caps
+        (~16x typical density)."""
         C = chunk_frames
         fc = self.cfg.frontier
         K, R = fc.frontier_size, self.cfg.em_records
-        tok = min(_round_up(K + 120 * C, 1024), K + 192 * C + K)
-        em = min(_round_up(R + 208 * C, 1024), R + 320 * C + R)
+        tok = min(_round_up(5 * K + 36 * C, 1024), K + 192 * C + K)
+        em = min(_round_up(5 * R + 56 * C, 1024), R + 320 * C + R)
         eps = (
             min(_round_up(24 * C, 512), max(64 * C, 8) + max(fc.eps_iters, 1) * self.cfg.eps_records)
             if fc.eps_iters
