@@ -682,10 +682,9 @@ class BatchedLatticeDecoder:
         K, R = fc.frontier_size, self.cfg.em_records
         tok = min(_round_up(5 * K + 36 * C, 1024), K + 192 * C + K)
         em = min(_round_up(5 * R + 56 * C, 1024), R + 320 * C + R)
+        eps_total = max(64 * C, 8) + max(fc.eps_iters, 1) * self.cfg.eps_records
         eps = (
-            min(_round_up(24 * C, 512), max(64 * C, 8) + max(fc.eps_iters, 1) * self.cfg.eps_records)
-            if fc.eps_iters
-            else 8
+            min(_round_up(24 * C, 512), eps_total) if fc.eps_iters else 8
         )
         return tok, em, eps
 
