@@ -453,3 +453,41 @@ class TestDeterminizeAlignments:
         lat = self._lat(9)
         det, aligns = determinize_lattice(lat, with_alignments=True)
         assert alignment_of(det, aligns, [1, 1, 1, 1, 1, 1, 1, 2]) is None
+
+
+def test_decode_async_pipelined_matches_serial():
+    """Two decode_async batches in flight (the bench's pipelined shape)
+    produce identical lattices/best paths to serial decode() calls —
+    the dispatch-time download slices and init memoization must not
+    leak state across batches."""
+    import numpy as np
+
+    from kaldi_decoder_tpu.decoders.lattice import BatchedLatticeDecoder
+    from kaldi_decoder_tpu.fst import path_labels, random_fst
+    from kaldi_decoder_tpu.fst.csr import compile_fst
+
+    rng = np.random.default_rng(17)
+    fst = random_fst(num_states=120, num_symbols=14, rng=rng, eps_prob=0.2)
+    graph = compile_fst(fst)
+    dec = BatchedLatticeDecoder(graph, lattice_beam=6.0, pad_time_to=8)
+    sc1 = np.log(
+        rng.dirichlet(np.ones(14), size=(2, 19)).astype(np.float32)
+    ).astype(np.float32)
+    sc2 = np.log(
+        rng.dirichlet(np.ones(14), size=(2, 19)).astype(np.float32)
+    ).astype(np.float32)
+
+    p1 = dec.decode_async(sc1, chunk_frames=8)
+    p2 = dec.decode_async(sc2, chunk_frames=8)
+    r1, r2 = p1.result(), p2.result()
+
+    s1 = dec.decode(sc1, chunk_frames=8)
+    s2 = dec.decode(sc2, chunk_frames=8)
+    for got, want in ((r1, s1), (r2, s2)):
+        for b in range(2):
+            gp, wp = got.best_path(b), want.best_path(b)
+            if wp is None:
+                assert gp is None
+            else:
+                assert gp == wp
+            assert got.best_path_labels(b) == want.best_path_labels(b)
