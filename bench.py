@@ -297,6 +297,7 @@ def e2e_with_lattices(graph, dec, scores, lengths, refs):
         dispatch_upto(2)
         hyps = None
         done = 0
+        marks = []
         while done < n_pipe:
             group = sorted(pend)[:2]
             rs = [pend.pop(j).result() for j in group]
@@ -304,17 +305,29 @@ def e2e_with_lattices(graph, dec, scores, lengths, refs):
             for r in rs:
                 hyps = finalize(r)
             done += len(group)
-        return time.time() - t0, hyps
+            marks.append((len(group), time.time() - t0))
+        return time.time() - t0, hyps, marks
 
-    walls = {}
+    steady_periods = []
     for n_pipe in (2, 4, 8):
-        wall, hyps = run_pipe(n_pipe)
-        walls[n_pipe] = wall
+        wall, hyps, marks = run_pipe(n_pipe)
         log(f"  e2e pipelined x{n_pipe}: {wall:.2f}s wall for "
             f"{n_pipe * audio_s:.0f} audio-s = "
             f"{n_pipe * audio_s / wall:.1f} audio-s/s")
-    e2e_steady = 6 * audio_s / (walls[8] - walls[2])
-    log(f"  e2e steady-state (marginal x2->x8, fill excluded): "
+        # Per-batch periods of steady-state groups (the first group pays
+        # the pipeline fill; later groups are one drain period per two
+        # batches).
+        for gi in range(1, len(marks)):
+            nb = marks[gi][0]
+            steady_periods.append((marks[gi][1] - marks[gi - 1][1]) / nb)
+    # Median period: robust against the dev tunnel's documented
+    # order-of-magnitude transfer stalls (a single stalled batch would
+    # otherwise swallow an endpoint-marginal estimate).
+    sp = sorted(steady_periods)
+    log(f"  steady per-batch periods (s): "
+        f"{', '.join(f'{x:.1f}' for x in steady_periods)}")
+    e2e_steady = audio_s / sp[len(sp) // 2]
+    log(f"  e2e steady-state (median period, fill excluded): "
         f"{e2e_steady:.1f} audio-s/s")
     e2e = e2e_steady
     wer_val = None
