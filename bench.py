@@ -277,35 +277,28 @@ def e2e_with_lattices(graph, dec, scores, lengths, refs):
     # (forward + sweep); the fill batch is one-time, so the product
     # number is the marginal rate between two depths.
     def run_pipe(n_pipe):
-        # Group-of-2 schedule matched to the relay's observation
-        # semantics (a buffer's readiness is only reported at full-queue
-        # drains): at each drain BOTH in-flight batches are fetched (the
-        # second costs only its residual transfer), two more are
-        # dispatched, and both finalizes run under the new compute.
-        # Steady state is device-bound: one drain period per two batches.
+        # One-ahead pipeline: result(i) observes batch i's own
+        # completion (per-batch readiness holds now that decode_async
+        # issues no copy_to_host_async — see lattice.py), its fetches
+        # stream under batch i+1's compute, batch i+2 is dispatched, and
+        # the host finalize runs under device compute too.  Steady state
+        # is device-bound: one device period per batch.
         t0 = time.time()
-        pend = {}
-        state = {"next": 0}
-
-        def dispatch_upto(k):
-            while state["next"] < min(k, n_pipe):
-                pend[state["next"]] = dec.decode_async(
+        pend = {0: dec.decode_async(scores, lengths, chunk_frames=CHUNK_FRAMES)}
+        if n_pipe > 1:
+            pend[1] = dec.decode_async(
+                scores, lengths, chunk_frames=CHUNK_FRAMES
+            )
+        hyps = None
+        marks = []
+        for i in range(n_pipe):
+            r = pend.pop(i).result()
+            if i + 2 < n_pipe:
+                pend[i + 2] = dec.decode_async(
                     scores, lengths, chunk_frames=CHUNK_FRAMES
                 )
-                state["next"] += 1
-
-        dispatch_upto(2)
-        hyps = None
-        done = 0
-        marks = []
-        while done < n_pipe:
-            group = sorted(pend)[:2]
-            rs = [pend.pop(j).result() for j in group]
-            dispatch_upto(state["next"] + len(group))
-            for r in rs:
-                hyps = finalize(r)
-            done += len(group)
-            marks.append((len(group), time.time() - t0))
+            hyps = finalize(r)
+            marks.append((1, time.time() - t0))
         return time.time() - t0, hyps, marks
 
     steady_periods = []

@@ -625,21 +625,21 @@ class BatchedLatticeDecoder:
                     # slice ops execute at THIS batch's position in the
                     # device queue (slicing at result() time would
                     # enqueue them behind any already-dispatched next
-                    # batch, serializing the pipeline) and the D2H
-                    # copies stream under the next batch's compute via
-                    # copy_to_host_async.  _finish falls back to the
-                    # retained full buffers if a count exceeds its cap.
+                    # batch, serializing the pipeline).  Deliberately NO
+                    # copy_to_host_async here: on the tunneled runtime it
+                    # degrades readiness observation of this batch's
+                    # buffers from per-batch to
+                    # full-queue-plus-all-transfers (measured 13 s ->
+                    # 40 s), while plain fetches of ready buffers stream
+                    # under the next batch's compute at ~0.75 s per
+                    # chunk anyway.  _finish falls back to the retained
+                    # full buffers if a count exceeds its cap.
                     ct, ce, cz = self._dl_caps(C)
                     dl = (
                         sw.tok_rows[:, :ct],
                         sw.em_rows[:, :ce],
                         sw.eps_rows[:, :cz],
                     )
-                    for a in dl:
-                        try:
-                            a.copy_to_host_async()
-                        except Exception:  # pragma: no cover
-                            pass
                 else:
                     # Full-record mode: fetch each chunk to host as it is
                     # produced so peak HBM stays one chunk's buffers, not

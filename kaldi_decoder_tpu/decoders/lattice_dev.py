@@ -250,9 +250,14 @@ def lattice_emit_stage(
     # first (lattice connectivity guaranteed), then smallest-slack
     # extras.  The (src_state, arc_id) record columns ride the sorts as
     # payload operands — no post-hoc gathers.
+    # need_idx=False: the lattice path takes no backpointers from the
+    # frontier (links come from the record columns), so the sort skips
+    # the candidate-index operand (~one of five operands of the frame's
+    # biggest sort).
     sel = dedup_select_rec(
         cand.dst, ncost, K, num_states, r_em, slack_beam=slack_beam,
         payload=(cand.src_state, cand.arc_id), sweep_cols=True,
+        need_idx=False,
     )
     em_rec = jnp.stack(
         sel.recs

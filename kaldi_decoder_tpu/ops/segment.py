@@ -98,7 +98,8 @@ class SelectionRec(NamedTuple):
     rec_slack: Optional[jnp.ndarray] = None  # (R,) float32
 
 
-def _sort_by_state(cand_state, cand_cost, num_states, payload=()):
+def _sort_by_state(cand_state, cand_cost, num_states, payload=(),
+                   need_idx=True):
     """One stable 2-key sort by (state, cost).
 
     With cost as the second key, each equal-state run is internally
@@ -109,14 +110,25 @@ def _sort_by_state(cand_state, cand_cost, num_states, payload=()):
     extra operands: on TPU each extra operand costs ~15% of the sort,
     far cheaper than a post-hoc random gather of the same data
     (measured: 0.23ms sort vs 1.4ms for a 20k-element gather at B=8).
+
+    ``need_idx=False`` drops the candidate-index operand (callers that
+    use neither ``cand_idx`` backpointers nor incumbent filtering — the
+    lattice emitting stage — save one sort operand; ``i2`` comes back
+    None).
     """
     n = cand_state.shape[0]
     invalid = ~jnp.isfinite(cand_cost)
     skey = jnp.where(invalid, num_states, cand_state)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    s2, c2, i2, *pay2 = jax.lax.sort(
-        (skey, cand_cost, idx) + tuple(payload), num_keys=2
-    )
+    if need_idx:
+        idx = jnp.arange(n, dtype=jnp.int32)
+        s2, c2, i2, *pay2 = jax.lax.sort(
+            (skey, cand_cost, idx) + tuple(payload), num_keys=2
+        )
+    else:
+        s2, c2, *pay2 = jax.lax.sort(
+            (skey, cand_cost) + tuple(payload), num_keys=2
+        )
+        i2 = None
     leader = jnp.concatenate([jnp.ones((1,), bool), s2[1:] != s2[:-1]])
     return s2, c2, i2, tuple(pay2), leader
 
@@ -124,17 +136,22 @@ def _sort_by_state(cand_state, cand_cost, num_states, payload=()):
 def _select(s2, c2, i2, leader, k: int, num_states: int):
     """K cheapest run leaders form the new frontier (no scan needed: the
     leader lane already holds the run minimum after the 2-key sort).
-    Returns (Selection, pos) with ``pos`` the winning sorted positions."""
+    Returns (Selection, pos) with ``pos`` the winning sorted positions.
+    With ``i2=None`` (need_idx=False sort) ``cand_idx`` is all -1."""
     lcost = jnp.where(leader & (s2 < num_states), c2, INF)
     # top_k ties keep the lower index, i.e. the earlier state-sorted
     # position — the same tie-break a stable cost-sort gives.
     neg, pos = jax.lax.top_k(-lcost, k)
     costs = -neg
     live = jnp.isfinite(costs)
+    if i2 is None:
+        cand_idx = jnp.full((k,), -1, jnp.int32)
+    else:
+        cand_idx = jnp.where(live, i2[pos], -1).astype(jnp.int32)
     sel = Selection(
         states=jnp.where(live, s2[pos], 0).astype(jnp.int32),
         costs=costs,
-        cand_idx=jnp.where(live, i2[pos], -1).astype(jnp.int32),
+        cand_idx=cand_idx,
         num_unique=jnp.sum(jnp.isfinite(lcost)).astype(jnp.int32),
     )
     return sel, pos
@@ -168,6 +185,9 @@ def dedup_select_rec(
     # not links (the eps-relaxation incumbent-first pattern)
     payload: Optional[tuple] = None,  # (N,) int32 arrays to emit as records
     sweep_cols: bool = False,  # also emit (rec_dst, rec_slack) per record
+    need_idx: bool = True,  # False drops the sort's candidate-index
+    # operand (valid only with num_incumbents=0 and an explicit payload;
+    # cand_idx comes back -1)
 ) -> SelectionRec:
     """dedup_select + lattice record selection by link slack.
 
@@ -192,8 +212,10 @@ def dedup_select_rec(
     if payload is None:
         n = cand_state.shape[0]
         payload = (jnp.arange(n, dtype=jnp.int32),)
+    if not need_idx:
+        assert num_incumbents == 0, "need_idx=False requires no incumbents"
     s2, c2, i2, pay2, leader = _sort_by_state(
-        cand_state, cand_cost, num_states, payload
+        cand_state, cand_cost, num_states, payload, need_idx=need_idx
     )
     sel, pos = _select(s2, c2, i2, leader, k, num_states)
     n = c2.shape[0]
