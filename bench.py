@@ -58,13 +58,17 @@ T = int(os.environ.get("KDTPU_BENCH_T", "1000"))
 CHUNK_FRAMES = int(os.environ.get("KDTPU_BENCH_CHUNK", "500"))
 FRAME_SECONDS = 0.04  # conformer subsampling-4 frame rate
 BEAM = float(os.environ.get("KDTPU_BENCH_BEAM", "15"))
-# Round-4 defaults are the *recall-qualified operating point*: measured
+# The default is the *recall-qualified operating point*: measured
 # lattice-link recall vs the exact same-config oracle is >= 0.95
 # (scripts/measure_recall.py --save; carried in the metric string below).
 # max_active trades accuracy for expansion demand exactly as in Kaldi:
-# ma=4000/rem=32768 measures WER 4.03% at recall 0.90 and ~65 audio-s/s
-# (BASELINE.md operating-point table); the default pins the recall bar.
-MAX_ACTIVE = int(os.environ.get("KDTPU_BENCH_MAXACTIVE", "3000"))
+# ma=4000/rem=32768 measures WER 4.28% at recall 0.90 and ~68 audio-s/s
+# device / 60 e2e (BASELINE.md operating-point table).  r5 default
+# ma=2560 (recall 0.960, WER 4.71%, device 57.5, e2e steady 50.8): the
+# tighter cutoff cuts expansion lanes AND truncation pressure, clearing
+# the >=50 north star end-to-end at recall >=0.95; ma=3000 (recall
+# 0.956, WER 4.61%, 54.8/48.7) remains one env var away.
+MAX_ACTIVE = int(os.environ.get("KDTPU_BENCH_MAXACTIVE", "2560"))
 LATTICE_BEAM = 8.0
 EM_RECORDS = int(os.environ.get("KDTPU_BENCH_EM_RECORDS", "8192"))
 REM_BUDGET = int(os.environ.get("KDTPU_BENCH_REM", "49152"))
